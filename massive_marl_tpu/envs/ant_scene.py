@@ -1,0 +1,133 @@
+"""Batched ant(+box) scene stepping.
+
+One env = A ant articulations and (optionally) one free push-box.  Matches the
+reference scene wiring (ten_ant.py:498-552): ants never collide with each
+other (IsaacGym collision filter 1), the box's friction is forced to 0, and
+actions are hinge torques `action * gear * power_scale`
+(pre_physics_step, ten_ant.py:886-891).
+
+The whole control step (substeps x [FK -> contacts -> CRBA solve ->
+integrate]) is a `lax.scan` body, vmapped over the env axis by the wrappers.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from massive_marl_tpu.phys import engine
+from massive_marl_tpu.phys.system import System
+
+
+@struct.dataclass
+class AntSceneState:
+    ant_qpos: jnp.ndarray   # [A, 15]
+    ant_qvel: jnp.ndarray   # [A, 14]
+    box_qpos: jnp.ndarray   # [7]  (unused zeros when the scene has no box)
+    box_qvel: jnp.ndarray   # [6]
+    sensors: jnp.ndarray    # [A, 4, 6] foot contact wrenches (body frame)
+
+
+class AntSceneSpec(NamedTuple):
+    ant_sys: System
+    box_sys: Optional[System]
+    box_half_extents: Optional[Tuple[float, float, float]]
+    num_ants: int
+    dt: float = 0.0166          # control dt (cfg/TenAnt.yaml:63)
+    substeps: int = 8
+    power_scale: float = 1.0
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
+    contact: engine.ContactParams = engine.ContactParams()
+    # pair frictions: geom frictions combine multiplicatively so the
+    # zero-friction box stays frictionless against ants (ten_ant.py:548-552)
+    plane_friction: float = 1.0
+
+
+def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -> AntSceneState:
+    """Advance one control step.  actions: [A, 8] in [-1, 1]."""
+    sys = spec.ant_sys
+    h = spec.dt / spec.substeps
+    gravity = jnp.asarray(spec.gravity)
+    cp = spec.contact
+    tau_act = actions * sys.gear * spec.power_scale  # [A, nj]
+    has_box = spec.box_sys is not None
+
+    def ant_substep(qpos, qvel, box_qpos, box_qvel):
+        fk = engine.fwd_kinematics(sys, qpos, qvel)
+        p_w, v_w, body = engine.points_world(sys, fk)
+        mu_plane = sys.point_friction * spec.plane_friction
+        f_pts = engine.contact_plane(p_w, v_w, sys.point_radius, mu_plane, cp)
+        box_wrench = jnp.zeros(6)
+        if has_box:
+            f_box, box_wrench = engine.contact_box(
+                p_w, v_w, sys.point_radius, sys.point_friction * 0.0,  # frictionless box
+                box_qpos[0:3], box_qpos[3:7], box_qvel,
+                spec.box_half_extents, cp)
+            f_pts = f_pts + f_box
+        f_ext = engine.accumulate_body_forces(sys.nb, body, p_w, f_pts, fk.base)
+        sens = engine.sensor_forces(sys, f_pts, fk)
+        return fk, f_ext, sens, box_wrench
+
+    def substep(carry, _):
+        aq, av, bq, bv = carry
+        fk_a, f_ext_a, sens, box_wrench = jax.vmap(ant_substep, in_axes=(0, 0, None, None))(
+            aq, av, bq, bv)
+        tau = (
+            tau_act
+            + jax.vmap(lambda q, v: engine.joint_limit_torque(sys, q, v))(aq, av)
+            - sys.damping * av[:, 6:]
+        )
+        qacc = jax.vmap(
+            lambda fk, v, t, fe: engine.forward_dynamics(sys, fk, v, t, fe, gravity)
+        )(fk_a, av, tau, f_ext_a)
+        aq2, av2 = jax.vmap(lambda q, v, a: engine.integrate(sys, q, v, a, h))(aq, av, qacc)
+
+        if has_box:
+            bsys = spec.box_sys
+            fk_b = engine.fwd_kinematics(bsys, bq, bv)
+            p_b, v_b, body_b = engine.points_world(bsys, fk_b)
+            f_b = engine.contact_plane(p_b, v_b, bsys.point_radius,
+                                       bsys.point_friction * spec.plane_friction, cp)
+            f_ext_b = engine.accumulate_body_forces(bsys.nb, body_b, p_b, f_b, fk_b.base)
+            # ant contact wrenches were taken about the box origin == fk_b.base
+            f_ext_b = f_ext_b + jnp.sum(box_wrench, axis=0)[None, :]
+            bacc = engine.forward_dynamics(bsys, fk_b, bv, jnp.zeros(0), f_ext_b, gravity)
+            bq2, bv2 = engine.integrate(bsys, bq, bv, bacc, h)
+        else:
+            bq2, bv2 = bq, bv
+        return (aq2, av2, bq2, bv2), sens
+
+    (aq, av, bq, bv), sens_hist = jax.lax.scan(
+        substep, (state.ant_qpos, state.ant_qvel, state.box_qpos, state.box_qvel),
+        None, length=spec.substeps)
+    return AntSceneState(ant_qpos=aq, ant_qvel=av, box_qpos=bq, box_qvel=bv,
+                         sensors=sens_hist[-1])
+
+
+def reset_scene(spec: AntSceneSpec, key: jnp.ndarray, ant_start: jnp.ndarray,
+                box_start: Optional[jnp.ndarray], init_hinge: jnp.ndarray,
+                pos_noise: float = 0.2, vel_noise: float = 0.1) -> AntSceneState:
+    """Fresh scene state (reference reset_idx, ten_ant.py:810-884): roots at
+    their spawn poses with zero velocity, hinge pos/vel perturbed uniformly.
+    The same noise vector is shared by all ants in an env - exactly like the
+    reference, which draws one `positions` tensor and applies it to every ant
+    (ten_ant.py:822-854)."""
+    sys = spec.ant_sys
+    A = spec.num_ants
+    kp, kv = jax.random.split(key)
+    dpos = jax.random.uniform(kp, (sys.nj,), minval=-pos_noise, maxval=pos_noise)
+    dvel = jax.random.uniform(kv, (sys.nj,), minval=-vel_noise, maxval=vel_noise)
+    hinge = jnp.clip(init_hinge + dpos, sys.jnt_range[:, 0], sys.jnt_range[:, 1])
+    base_quat = jnp.array([0.0, 0.0, 0.0, 1.0])
+    qpos = jnp.concatenate([ant_start, jnp.broadcast_to(base_quat, (A, 4)),
+                            jnp.broadcast_to(hinge, (A, sys.nj))], axis=1)
+    qvel = jnp.zeros((A, sys.nv)).at[:, 6:].set(dvel)
+    if box_start is not None:
+        box_qpos = jnp.concatenate([box_start, base_quat])
+    else:
+        box_qpos = jnp.zeros(7).at[6].set(1.0)
+    return AntSceneState(ant_qpos=qpos, ant_qvel=qvel, box_qpos=box_qpos,
+                         box_qvel=jnp.zeros(6),
+                         sensors=jnp.zeros((A, max(sys.num_sensors, 1), 6)))

@@ -1,0 +1,159 @@
+"""OneAnt: a single ant pushes a 1x1x1 frictionless box to the origin.
+
+Faithful re-derivation of /root/reference/agents/tasks/one_ant.py:
+  * scene: ant spawns at (-6, 0, 1), box (mass 1) at (-4, 0, 1)
+    (one_ant.py:233-266), plane friction 1/1/0 (cfg/OneAnt.yaml plane)
+  * obs (60): one_ant.py:566-627 layout, including 24 foot-sensor dims
+  * reward: compute_ant_reward (one_ant.py:466-563): alive 0.5 + up + quat
+    alignment + 500*approach-delta (gated off within 1.5 m of the box) +
+    500*box-to-target progress + arrive/success bonuses - action/electricity/
+    limit costs; death at z < 0.31 -> -2 (cfg/OneAnt.yaml terminationHeight)
+  * auto-reset semantics per base.py
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from massive_marl_tpu.phys import mjcf
+from massive_marl_tpu.envs import obs_math
+from massive_marl_tpu.envs.ant_scene import AntSceneSpec, AntSceneState, reset_scene, scene_step
+from massive_marl_tpu.envs.base import EnvState, select_tree
+
+
+@struct.dataclass
+class OneAntCarry:
+    pos_before: jnp.ndarray  # [2] ant xy
+    box_before: jnp.ndarray  # [2] box xy
+
+
+class OneAntEnv:
+    num_obs = 60
+    num_actions = 8
+    num_agents = 1
+    num_states = 60  # states_buf == obs for the single-agent task
+
+    def __init__(self, cfg: Dict[str, Any] | None = None):
+        cfg = cfg or {}
+        env_cfg = cfg.get("env", {})
+        self.max_episode_length = env_cfg.get("episodeLength", 1000)
+        self.dof_vel_scale = env_cfg.get("dofVelocityScale", 0.2)
+        self.contact_force_scale = env_cfg.get("contactForceScale", 0.1)
+        self.power_scale = env_cfg.get("powerScale", 1.0)
+        self.heading_weight = env_cfg.get("headingWeight", 0.5)
+        self.up_weight = env_cfg.get("upWeight", 0.1)
+        self.actions_cost_scale = env_cfg.get("actionsCost", 0.005)
+        self.energy_cost_scale = env_cfg.get("energyCost", 0.05)
+        self.joints_at_limit_cost_scale = env_cfg.get("jointsAtLimitCost", 0.1)
+        self.death_cost = env_cfg.get("deathCost", -2.0)
+        self.termination_height = env_cfg.get("terminationHeight", 0.31)
+        # reward scales fixed in the task class (one_ant.py:56-60)
+        self.quat_reward_scale = 1.0
+        self.ant_dist_reward_scale = 500.0
+        self.goal_dist_reward_scale = 500.0
+
+        sim_cfg = cfg.get("sim", {})
+        dt = sim_cfg.get("dt", 0.0166)
+        substeps = sim_cfg.get("substeps", 8)
+
+        model = mjcf.parse_mjcf(mjcf.asset_path("ant.xml"))
+        self.model = model
+        self.spec = AntSceneSpec(
+            ant_sys=model.system,
+            box_sys=mjcf.make_box_system((0.5, 0.5, 0.5), density=1.0, friction=0.0),
+            box_half_extents=(0.5, 0.5, 0.5),
+            num_ants=1,
+            dt=dt,
+            substeps=substeps,
+            power_scale=self.power_scale,
+        )
+        self.init_hinge = jnp.asarray(model.init_hinge)
+        self.targets = jnp.zeros(3)
+        self.box_targets = jnp.zeros(2)
+
+    # -- scene spawning (one_ant.py:233-266) --
+    def _fresh_pipeline(self, key) -> AntSceneState:
+        return reset_scene(self.spec, key,
+                           ant_start=jnp.array([[-6.0, 0.0, 1.0]]),
+                           box_start=jnp.array([-4.0, 0.0, 1.0]),
+                           init_hinge=self.init_hinge)
+
+    def _carry_of(self, pipeline: AntSceneState) -> OneAntCarry:
+        return OneAntCarry(pos_before=pipeline.ant_qpos[0, 0:2],
+                           box_before=pipeline.box_qpos[0:2])
+
+    def _obs(self, pipeline: AntSceneState, actions) -> jnp.ndarray:
+        sys = self.spec.ant_sys
+        return obs_math.ant_obs_60(
+            pipeline.ant_qpos[0], pipeline.ant_qvel[0], actions,
+            pipeline.sensors[0], self.targets,
+            sys.jnt_range[:, 0], sys.jnt_range[:, 1],
+            self.dof_vel_scale, self.contact_force_scale)
+
+    def reset(self, key) -> EnvState:
+        key, sub = jax.random.split(key)
+        pipeline = self._fresh_pipeline(sub)
+        obs = self._obs(pipeline, jnp.zeros(8))
+        return EnvState(pipeline=pipeline, carry=self._carry_of(pipeline),
+                        progress=jnp.asarray(0, jnp.int32),
+                        done=jnp.asarray(False),
+                        key=key, obs=obs, reward=jnp.asarray(0.0))
+
+    def step(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
+        # 1. physics on the pre-reset state (reference order, base_task.py:129-149)
+        stepped = scene_step(self.spec, state.pipeline, actions[None, :])
+        # 2. auto-reset envs flagged done last step
+        key, sub = jax.random.split(state.key)
+        fresh = self._fresh_pipeline(sub)
+        pipeline = select_tree(state.done, fresh, stepped)
+        carry_prev = select_tree(state.done, self._carry_of(fresh), state.carry)
+        progress = jnp.where(state.done, 0, state.progress + 1)
+
+        # 3. obs / reward / done
+        obs = self._obs(pipeline, actions)
+        reward, done = self._reward(obs, actions, pipeline, carry_prev, progress)
+        carry = self._carry_of(pipeline)
+        return EnvState(pipeline=pipeline, carry=carry, progress=progress,
+                        done=done, key=key, obs=obs, reward=reward)
+
+    def _reward(self, obs, actions, pipeline: AntSceneState, carry: OneAntCarry, progress):
+        """compute_ant_reward, one_ant.py:466-563."""
+        ant_pos = pipeline.ant_qpos[0, 0:2]
+        box_pos = pipeline.box_qpos[0:2]
+        box_quat = pipeline.box_qpos[3:7]
+
+        quat_dist = obs_math.box_quat_alignment(box_quat)
+        quat_reward = self.quat_reward_scale * quat_dist
+
+        ant_push = 1.0 - (obs_math.l2_xy(ant_pos, box_pos) < 1.5)
+        ant_dist = obs_math.l2_xy(carry.pos_before, carry.box_before) - obs_math.l2_xy(ant_pos, box_pos)
+        ant_dist_reward = self.ant_dist_reward_scale * ant_dist * ant_push
+
+        goal_dist_before = obs_math.l2_xy(self.box_targets, carry.box_before)
+        goal_dist = obs_math.l2_xy(self.box_targets, box_pos)
+        goal_arrive = (goal_dist < 0.5).astype(jnp.float32)
+        goal_dist_reward = self.goal_dist_reward_scale * (goal_dist_before - goal_dist)
+        goal_arrive_reward = 2.0 * goal_arrive
+
+        success_reward = (quat_dist > 0.9) * goal_arrive * 10.0
+
+        up_reward = jnp.where(obs[10] > 0.93, self.up_weight, 0.0)
+
+        actions_cost = jnp.sum(actions**2)
+        electricity_cost = jnp.sum(jnp.abs(actions * obs[20:28]))
+        dof_at_limit_cost = jnp.sum(obs[12:20] > 0.99)
+
+        alive_reward = 0.5
+        total = (alive_reward + up_reward + quat_reward + ant_dist_reward
+                 + goal_dist_reward + goal_arrive_reward + success_reward
+                 - self.actions_cost_scale * actions_cost
+                 - self.energy_cost_scale * electricity_cost
+                 - self.joints_at_limit_cost_scale * dof_at_limit_cost)
+
+        fallen = obs[0] < self.termination_height
+        total = jnp.where(fallen, self.death_cost, total)
+        done = fallen | (progress >= self.max_episode_length - 1)
+        return total, done

@@ -1,0 +1,115 @@
+"""Env semantics tests (SURVEY.md section 4, item 2): obs layouts, reward
+identities, reset rules."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from massive_marl_tpu.envs.one_ant import OneAntEnv
+from massive_marl_tpu.envs.ten_ant import TenAntEnv
+from massive_marl_tpu.wrap.vec_task import split_multi_agent_obs
+
+
+@pytest.fixture(scope="module")
+def one_ant():
+    return OneAntEnv()
+
+
+def rollout(env, n_steps, n_act, key=0, scale=1.0):
+    """jitted scan rollout with random actions; returns stacked states."""
+    k = jax.random.PRNGKey(key)
+    state = env.reset(k)
+
+    def step(carry, k):
+        st = env.step(carry, scale * jax.random.uniform(k, (n_act,), minval=-1, maxval=1))
+        return st, (st.obs, st.reward, st.done, st.progress)
+
+    keys = jax.random.split(jax.random.PRNGKey(key + 1), n_steps)
+    state, traj = jax.jit(lambda s: jax.lax.scan(step, s, keys))(state)
+    return state, traj
+
+
+def test_one_ant_shapes_and_finite(one_ant):
+    env = one_ant
+    state, (obs, rew, done, prog) = rollout(env, 30, 8)
+    assert obs.shape == (30, 60)
+    assert np.isfinite(np.array(obs)).all()
+    assert np.isfinite(np.array(rew)).all()
+
+
+def test_one_ant_obs_layout(one_ant):
+    env = one_ant
+    state = env.reset(jax.random.PRNGKey(3))
+    obs = np.array(state.obs)
+    # z close to spawn height 1.0
+    assert 0.8 < obs[0] <= 1.05
+    # up_proj ~ 1 (spawn upright), heading_proj towards origin from (-6,0) = +x
+    assert obs[10] > 0.95
+    assert obs[11] > 0.9
+    # actions block zero at reset
+    assert np.allclose(obs[52:60], 0.0)
+    # dof_pos_scaled in [-1, 1]
+    assert (np.abs(obs[12:20]) <= 1.0 + 1e-5).all()
+
+
+def test_one_ant_alive_reward_near_reset(one_ant):
+    """First step with zero actions: reward ~ alive(0.5) + up(0.1) + quat
+    + small deltas; definitely positive and < 10."""
+    env = one_ant
+    state = env.reset(jax.random.PRNGKey(0))
+    st2 = jax.jit(env.step)(state, jnp.zeros(8))
+    r = float(st2.reward)
+    assert 0.0 < r < 10.0, r
+
+
+def test_one_ant_death_and_autoreset(one_ant):
+    env = one_ant
+    state = env.reset(jax.random.PRNGKey(1))
+    # force the ant far below the termination height
+    pipeline = state.pipeline.replace(
+        ant_qpos=state.pipeline.ant_qpos.at[0, 2].set(0.1))
+    state = state.replace(pipeline=pipeline)
+    st2 = jax.jit(env.step)(state, jnp.zeros(8))
+    assert bool(st2.done)
+    assert float(st2.reward) == pytest.approx(env.death_cost)
+    # the step after a done must be a fresh episode
+    st3 = jax.jit(env.step)(st2, jnp.zeros(8))
+    assert int(st3.progress) == 0
+    assert float(st3.obs[0]) > 0.8  # respawned at z=1
+    assert not bool(st3.done)
+
+
+def test_ten_ant_shapes():
+    env = TenAntEnv()
+    state = env.reset(jax.random.PRNGKey(0))
+    assert state.obs.shape == (388,)
+    obs = np.array(state.obs)
+    per_ant = obs[:380].reshape(10, 38)
+    # torso positions at spawn columns x=6, y=+-1.5...
+    assert np.allclose(per_ant[:, 0], 6.0, atol=0.05)
+    assert np.allclose(np.sort(per_ant[:, 1]), np.sort(
+        [-1.5, 1.5, -4.5, 4.5, -7.5, 7.5, -10.5, 10.5, -13.5, 13.5]), atol=0.05)
+    # box tail: pos (4,0), identity quat, targets (0,0)
+    assert np.allclose(obs[380:382], [4.0, 0.0], atol=1e-5)
+    assert np.allclose(obs[382:386], [0, 0, 0, 1], atol=1e-5)
+    st2 = jax.jit(env.step)(state, jnp.zeros(80))
+    assert np.isfinite(np.array(st2.obs)).all()
+    assert np.isfinite(float(st2.reward))
+
+
+def test_ten_ant_goal_slots_identity_yaw():
+    env = TenAntEnv()
+    state = env.reset(jax.random.PRNGKey(0))
+    goals = np.array(env._goals(state.pipeline.box_qpos))
+    # identity quat -> dir = (sin 0, -cos 0) = (0,-1); goal_i = (4, -k_i)
+    expect = np.stack([np.full(10, 4.0), -np.array(
+        [1.5, -1.5, 4.5, -4.5, 7.5, -7.5, 10.5, -10.5, 13.5, -13.5])], axis=1)
+    assert np.allclose(goals, expect, atol=1e-5)
+
+
+def test_multi_agent_split():
+    obs_buf = jnp.arange(2 * 388, dtype=jnp.float32).reshape(2, 388)
+    per = split_multi_agent_obs(obs_buf, 10, 38)
+    assert per.shape == (2, 10, 46)
+    np.testing.assert_allclose(np.array(per[0, 3, :38]), np.arange(3 * 38, 4 * 38))
+    np.testing.assert_allclose(np.array(per[1, 0, 38:]), np.arange(388 + 380, 388 + 388))
