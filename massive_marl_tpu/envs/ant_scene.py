@@ -66,7 +66,7 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
                 box_qpos[0:3], box_qpos[3:7], box_qvel,
                 spec.box_half_extents, cp)
             f_pts = f_pts + f_box
-        f_ext = engine.accumulate_body_forces(sys.nb, body, p_w, f_pts, fk.base)
+        f_ext = engine.accumulate_body_forces(sys, p_w, f_pts, fk.base)
         sens = engine.sensor_forces(sys, f_pts, fk)
         return fk, f_ext, sens, box_wrench
 
@@ -90,7 +90,7 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
             p_b, v_b, body_b = engine.points_world(bsys, fk_b)
             f_b = engine.contact_plane(p_b, v_b, bsys.point_radius,
                                        bsys.point_friction * spec.plane_friction, cp)
-            f_ext_b = engine.accumulate_body_forces(bsys.nb, body_b, p_b, f_b, fk_b.base)
+            f_ext_b = engine.accumulate_body_forces(bsys, p_b, f_b, fk_b.base)
             # ant contact wrenches were taken about the box origin == fk_b.base
             f_ext_b = f_ext_b + jnp.sum(box_wrench, axis=0)[None, :]
             bacc = engine.forward_dynamics(bsys, fk_b, bv, jnp.zeros(0), f_ext_b, gravity)

@@ -8,7 +8,7 @@ linear algebra so that `vmap` over [env, agent] axes and XLA fusion do the
 heavy lifting:
 
   * forward kinematics over the (static) tree
-  * CRBA mass matrix + velocity-product bias via ancestor-mask einsums
+  * unrolled CRBA mass matrix + velocity-product bias over the static tree
   * penalty contacts (point-vs-plane, point-vs-box) with Coulomb friction
   * semi-implicit Euler integration; substeps via `lax.scan` in callers
 
@@ -31,9 +31,36 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .maths import quat_from_axis_angle, quat_integrate, quat_mul, quat_rotate, quat_to_matrix
+from .maths import (
+    mm,
+    mv,
+    quat_from_axis_angle,
+    quat_integrate,
+    quat_mul,
+    quat_rotate,
+    quat_to_matrix,
+)
 from .spatial import force_cross, motion_cross, spatial_inertia
 from .system import System
+
+
+def dof_chains(sys: System):
+    """Static: for each dof, the list of ancestor dofs (self included) and the
+    body each dof belongs to.  Root free-joint dofs 0..5 live on body 0."""
+    body_of_dof = [0] * 6 + [b for b in range(1, sys.nb)]
+    chains = []
+    for j in range(sys.nv):
+        if j < 6:
+            chains.append(list(range(j + 1)))  # lower-triangular root block
+            continue
+        chain = list(range(6))
+        b = body_of_dof[j]
+        path = []
+        while b != 0:
+            path.append(6 + b - 1)
+            b = sys.parent[b]
+        chains.append(chain + list(reversed(path)))
+    return body_of_dof, chains
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -95,7 +122,7 @@ def fwd_kinematics(sys: System, qpos: jnp.ndarray, qvel: jnp.ndarray) -> FK:
     pos = jnp.stack(pos)
     quat = jnp.stack(quat)
     R = quat_to_matrix(quat)
-    com_w = pos + jnp.einsum("bij,bj->bi", R, sys.com)
+    com_w = pos + mv(R, sys.com)
 
     # dof motion axes in base-origin coordinates: the base point is the
     # reference, so root translation dofs are pure translation and root
@@ -110,10 +137,14 @@ def fwd_kinematics(sys: System, qpos: jnp.ndarray, qvel: jnp.ndarray) -> FK:
         phis.append(jnp.concatenate([n, jnp.cross(w, n)], axis=1))
     phi = jnp.concatenate(phis, axis=0)             # [nv,6]
 
-    # body spatial velocities: v_b = sum over ancestor dofs phi_j * qd_j
+    # body spatial velocities down the (static) tree: v_b = v_parent + phi_j qd_j
     qd = jnp.concatenate([v_b, omega, hinge_rate])
-    A = jnp.asarray(ancestor_mask(sys))
-    v = jnp.einsum("jb,jk,j->bk", A, phi, qd, precision=_PREC)
+    v_base = jnp.concatenate([omega, v_b])          # [w; v at base point]
+    vlist = [v_base]
+    for b in range(1, sys.nb):
+        j = 6 + b - 1
+        vlist.append(vlist[sys.parent[b]] + phi[j] * qd[j])
+    v = jnp.stack(vlist)
     return FK(base=base_pos, pos=pos, quat=quat, R=R, com_w=com_w, phi=phi, v=v)
 
 
@@ -126,18 +157,30 @@ def forward_dynamics(sys: System, fk: FK, qvel: jnp.ndarray, tau_hinge: jnp.ndar
     them with `point_force_spatial(point, force, fk.base)`.
     fixed_base: solve only the hinge block (base welded to the world).
     """
-    A = jnp.asarray(ancestor_mask(sys))
     qd = qvel
+    body_of_dof, chains = dof_chains(sys)
 
-    # spatial inertia per body about the base point
-    I_com_w = jnp.einsum("bij,bjk,blk->bil", fk.R, sys.inertia, fk.R, precision=_PREC)
+    # spatial inertia per body about the base point (R I R^T via VPU mat-ops)
+    I_com_w = mm(mm(fk.R, sys.inertia), jnp.swapaxes(fk.R, -1, -2))
     I_sp = spatial_inertia(sys.mass, fk.com_w - fk.base, I_com_w)  # [nb,6,6]
 
-    # mass matrix: M = sum_b J_b^T I_b J_b with J_b = A[:,b,None]*phi
-    JB = A[:, :, None] * fk.phi[:, None, :]                        # [nv,nb,6]
-    tmp = jnp.einsum("vbi,bij->vbj", JB, I_sp, precision=_PREC)
-    M = jnp.einsum("vbj,wbj->vw", tmp, JB, precision=_PREC)
+    # ---- CRBA over the static tree (unrolled composite inertias) ----
+    Ic = [I_sp[b] for b in range(sys.nb)]
+    for b in range(sys.nb - 1, 0, -1):
+        Ic[sys.parent[b]] = Ic[sys.parent[b]] + Ic[b]
+    # M[i, j] = phi_i . (Ic[body(j)] @ phi_j) for i on j's ancestor chain
     armature = jnp.concatenate([jnp.zeros(6), sys.armature])
+    Mrows = [[None] * sys.nv for _ in range(sys.nv)]
+    for j in range(sys.nv):
+        fI = mv(Ic[body_of_dof[j]], fk.phi[j])          # [...,6]
+        for i in chains[j]:
+            mij = jnp.sum(fk.phi[i] * fI, axis=-1)
+            Mrows[i][j] = mij
+            Mrows[j][i] = mij
+    zero = jnp.zeros_like(Mrows[0][0])
+    M = jnp.stack([
+        jnp.stack([Mrows[i][j] if Mrows[i][j] is not None else zero for j in range(sys.nv)],
+                  axis=-1) for i in range(sys.nv)], axis=-2)
     M = M + jnp.diag(armature)
 
     # velocity-product accelerations (zeta recursion)
@@ -156,21 +199,61 @@ def forward_dynamics(sys: System, fk: FK, qvel: jnp.ndarray, tau_hinge: jnp.ndar
     # gravity as an external force at each com
     f_grav = point_force_spatial(fk.com_w, sys.mass[:, None] * gravity, fk.base)
     f_body = (
-        jnp.einsum("bij,bj->bi", I_sp, avp, precision=_PREC)
-        + force_cross(fk.v, jnp.einsum("bij,bj->bi", I_sp, fk.v, precision=_PREC))
+        mv(I_sp, avp)
+        + force_cross(fk.v, mv(I_sp, fk.v))
         - f_grav
         - f_ext
     )
-    C = jnp.einsum("jb,jk,bk->j", A, fk.phi, f_body, precision=_PREC)
+    # C[j] = phi_j . (subtree force sum below dof j)
+    fs = [f_body[b] for b in range(sys.nb)]
+    for b in range(sys.nb - 1, 0, -1):
+        fs[sys.parent[b]] = fs[sys.parent[b]] + fs[b]
+    C = jnp.stack([jnp.sum(fk.phi[j] * fs[body_of_dof[j]], axis=-1)
+                   for j in range(sys.nv)], axis=-1)
 
     tau = jnp.concatenate([jnp.zeros(6), tau_hinge])
     rhs = tau - C
     if fixed_base:
-        L = jax.scipy.linalg.cho_factor(M[6:, 6:], lower=True)
-        qacc_h = jax.scipy.linalg.cho_solve(L, rhs[6:])
+        qacc_h = cholesky_solve_small(M[6:, 6:], rhs[6:])
         return jnp.concatenate([jnp.zeros(6), qacc_h])
-    L = jax.scipy.linalg.cho_factor(M, lower=True)
-    return jax.scipy.linalg.cho_solve(L, rhs)
+    return cholesky_solve_small(M, rhs)
+
+
+def cholesky_solve_small(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve M x = rhs for small SPD M ([..., n, n] with static n).
+
+    Fully unrolled Cholesky + triangular solves: every intermediate is a
+    batched scalar ([...]-shaped array), so under vmap the whole solve
+    compiles to wide VPU element-wise code.  XLA's batched Cholesky custom
+    call is catastrophically slow for tiny matrices on TPU - this unrolled
+    form is the TPU-native way to invert a 14x14 mass matrix per ant.
+    """
+    n = M.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    inv_diag = [None] * n
+    for i in range(n):
+        for j in range(i + 1):
+            s = M[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+                inv_diag[i] = 1.0 / L[i][j]
+            else:
+                L[i][j] = s * inv_diag[j]
+    y = [None] * n
+    for i in range(n):
+        s = rhs[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s * inv_diag[i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s * inv_diag[i]
+    return jnp.stack(x, axis=-1)
 
 
 def point_force_spatial(point: jnp.ndarray, force: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
@@ -221,13 +304,37 @@ class ContactParams(NamedTuple):
     friction_vel: float = 0.3    # tangential velocity scale for friction ramp
 
 
+def _point_ranges(sys: System):
+    """Static contiguous (body, start, stop) runs of sys.point_body."""
+    runs = []
+    pb = sys.point_body
+    i = 0
+    while i < len(pb):
+        j = i
+        while j < len(pb) and pb[j] == pb[i]:
+            j += 1
+        runs.append((pb[i], i, j))
+        i = j
+    return tuple(runs)
+
+
 def points_world(sys: System, fk: FK):
-    """World positions and velocities of the system's contact sample points."""
+    """World positions and velocities of the system's contact sample points.
+
+    point_body is static and contiguous, so per-body transforms are static
+    slices + broadcasts - no gather ops reach the TPU."""
+    ps, vs = [], []
+    for b, s, e in _point_ranges(sys):
+        pl = sys.point_local[s:e]                       # [k,3]
+        # R[b] @ pl_i without a matmul: broadcasted mul + reduce
+        p_rel = jnp.sum(fk.R[b][None, :, :] * pl[:, None, :], axis=-1)
+        p_w = fk.pos[b] + p_rel                         # [k,3]
+        v_sp = fk.v[b]
+        v_w = v_sp[3:6] + jnp.cross(v_sp[0:3], p_w - fk.base)
+        ps.append(p_w)
+        vs.append(v_w)
     body = jnp.asarray(np.array(sys.point_body, np.int32))
-    p_w = fk.pos[body] + jnp.einsum("pij,pj->pi", fk.R[body], sys.point_local)
-    v_sp = fk.v[body]  # [P,6] base-origin coords
-    v_w = v_sp[:, 3:6] + jnp.cross(v_sp[:, 0:3], p_w - fk.base)
-    return p_w, v_w, body
+    return jnp.concatenate(ps), jnp.concatenate(vs), body
 
 
 def _contact_force(depth, normal, v_rel, friction, cp: ContactParams):
@@ -262,7 +369,7 @@ def contact_box(p_w, v_w, radius, friction, box_pos, box_quat, box_vel,
     """
     he = jnp.asarray(half_extents)
     R = quat_to_matrix(box_quat)
-    local = jnp.einsum("ji,...j->...i", R, p_w - box_pos)  # world->box frame
+    local = jnp.sum(R * (p_w - box_pos)[..., :, None], axis=-2)  # R^T x, world->box
     clamped = jnp.clip(local, -he, he)
     delta = local - clamped
     dist_out = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-12)
@@ -277,11 +384,11 @@ def contact_box(p_w, v_w, radius, friction, box_pos, box_quat, box_vel,
     depth_out = radius - dist_out
     depth_in = radius + jnp.take_along_axis(face_pen, min_ax[..., None], axis=-1)[..., 0]
     depth = jnp.where(inside, depth_in, depth_out)
-    normal = jnp.einsum("ij,...j->...i", R, n_local)     # box->world
+    normal = jnp.sum(R * n_local[..., None, :], axis=-1)  # R x, box->world
 
     # contact point on box surface (world)
     surf_local = jnp.where(inside[..., None], local, clamped)
-    cpnt = box_pos + jnp.einsum("ij,...j->...i", R, surf_local)
+    cpnt = box_pos + jnp.sum(R * surf_local[..., None, :], axis=-1)
     v_box_pt = box_vel[0:3] + jnp.cross(box_vel[3:6], cpnt - box_pos)
     v_rel = v_w - v_box_pt
     f = _contact_force(depth, normal, v_rel, friction, cp)
@@ -290,11 +397,16 @@ def contact_box(p_w, v_w, radius, friction, box_pos, box_quat, box_vel,
     return f, jnp.sum(f_box_sp, axis=0)
 
 
-def accumulate_body_forces(nb: int, body_idx: jnp.ndarray, p_w: jnp.ndarray,
+def accumulate_body_forces(sys: System, p_w: jnp.ndarray,
                            f_w: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
-    """Scatter world point forces into per-body base-origin forces [nb,6]."""
+    """Sum world point forces into per-body base-origin forces [nb,6].
+
+    Static segment-sum over contiguous point runs (no scatter ops)."""
     f_sp = point_force_spatial(p_w, f_w, base)           # [P,6]
-    return jnp.zeros((nb, 6)).at[body_idx].add(f_sp)
+    per_body = [jnp.zeros(6)] * sys.nb
+    for b, s, e in _point_ranges(sys):
+        per_body[b] = per_body[b] + jnp.sum(f_sp[s:e], axis=0)
+    return jnp.stack(per_body)
 
 
 def sensor_forces(sys: System, f_w: jnp.ndarray, fk: FK) -> jnp.ndarray:
@@ -305,11 +417,16 @@ def sensor_forces(sys: System, f_w: jnp.ndarray, fk: FK) -> jnp.ndarray:
     if sys.num_sensors == 0:
         return jnp.zeros((0, 6))
     ns = sys.num_sensors
-    sens = jnp.asarray(np.array(sys.point_sensor, np.int32))
-    valid = sens >= 0
-    sens_c = jnp.where(valid, sens, 0)
-    f_world = jnp.zeros((ns, 3)).at[sens_c].add(jnp.where(valid[:, None], f_w, 0.0))
-    foot_bodies = np.array(sorted({pb for pb, s in zip(sys.point_body, sys.point_sensor) if s >= 0}), np.int32)
-    R_feet = fk.R[jnp.asarray(foot_bodies)]
-    f_local = jnp.einsum("sji,sj->si", R_feet, f_world)
-    return jnp.concatenate([f_local, jnp.zeros_like(f_local)], axis=-1)
+    # static point->sensor segments
+    f_world = [jnp.zeros(3)] * ns
+    foot_body = [0] * ns
+    for p, (pb, s) in enumerate(zip(sys.point_body, sys.point_sensor)):
+        if s >= 0:
+            f_world[s] = f_world[s] + f_w[p]
+            foot_body[s] = pb
+    out = []
+    for s in range(ns):
+        # world -> body frame: R^T f
+        f_local = jnp.sum(fk.R[foot_body[s]] * f_world[s][:, None], axis=0)
+        out.append(jnp.concatenate([f_local, jnp.zeros(3)]))
+    return jnp.stack(out)

@@ -123,6 +123,25 @@ def scale(x, lower, upper):
     return 0.5 * (x + 1.0) * (upper - lower) + lower
 
 
+def mv(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched small mat-vec without dot_general: (..., i, j) x (..., j).
+
+    On TPU, tiny-contraction dot_generals pad the 3/6-sized axes onto the
+    MXU; broadcast-multiply + unrolled reduce keeps them on the VPU where the
+    big env batch fills the lanes."""
+    return jnp.sum(m * v[..., None, :], axis=-1)
+
+
+def mtv(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """m^T v for batched small matrices."""
+    return jnp.sum(m * v[..., :, None], axis=-2)
+
+
+def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched small mat-mat: (..., i, k) x (..., k, j)."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
 def skew(v: jnp.ndarray) -> jnp.ndarray:
     """(...,3) -> (...,3,3) cross-product matrix: skew(v) @ u == v x u."""
     x, y, z = v[..., 0], v[..., 1], v[..., 2]

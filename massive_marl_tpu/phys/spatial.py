@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .maths import skew
+from .maths import mm, skew
 
 
 def motion_cross(v: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
@@ -52,7 +52,7 @@ def spatial_inertia(mass: jnp.ndarray, com: jnp.ndarray, inertia_com: jnp.ndarra
     cx = skew(com)
     m = mass[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3), cx.shape)
-    top = jnp.concatenate([inertia_com - m * (cx @ cx), m * cx], axis=-1)
+    top = jnp.concatenate([inertia_com - m * mm(cx, cx), m * cx], axis=-1)
     bot = jnp.concatenate([-m * cx, m * eye], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
 

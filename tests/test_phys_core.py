@@ -156,7 +156,7 @@ def test_ant_drop_settles_on_plane():
         p_w, v_w, body = engine.points_world(sys, fk)
         f_pts = engine.contact_plane(p_w, v_w, sys.point_radius,
                                      sys.point_friction, cp)
-        f_ext = engine.accumulate_body_forces(sys.nb, body, p_w, f_pts, fk.base)
+        f_ext = engine.accumulate_body_forces(sys, p_w, f_pts, fk.base)
         tau = engine.joint_limit_torque(sys, qpos, qvel)
         qacc = engine.forward_dynamics(sys, fk, qvel, tau, f_ext, GRAV)
         qpos2, qvel2 = engine.integrate(sys, qpos, qvel, qacc, dt)
