@@ -57,6 +57,9 @@ class MarlConfig:
     std_x_coef: float = 1.0
     std_y_coef: float = 0.5
     use_centralized_v: bool = True       # False for IPPO (runner.py:87,105)
+    kl_threshold: float = 0.016          # HATRPO (cfg/happo/config.yaml:29-31)
+    ls_step: int = 10
+    accept_ratio: float = 0.5
     use_valuenorm: bool = True
     use_huber_loss: bool = True
     use_clipped_value_loss: bool = True
@@ -76,6 +79,8 @@ class MarlConfig:
             "lr": "lr", "critic_lr": "critic_lr", "opti_eps": "opti_eps",
             "hidden_size": "hidden_size", "layer_n": "layer_N", "gain": "gain",
             "std_x_coef": "std_x_coef", "std_y_coef": "std_y_coef",
+            "kl_threshold": "kl_threshold", "ls_step": "ls_step",
+            "accept_ratio": "accept_ratio",
             "use_valuenorm": "use_valuenorm",
             "use_huber_loss": "use_huber_loss",
             "use_clipped_value_loss": "use_clipped_value_loss",
@@ -246,6 +251,77 @@ class MarlRunner:
             l = jnp.maximum(l_o, l_c) if cfg.use_clipped_value_loss else l_o
             return cfg.value_loss_coef * l.mean(), l.mean()
 
+        def critic_epochs(cp, co, vn, batch):
+            def one(carry, _):
+                cp, co, vn = carry
+                vn = vn.update(batch["returns"])
+                (closs, vloss), cgrad = jax.value_and_grad(critic_loss_fn, has_aux=True)(
+                    cp, batch, vn)
+                cu, co = critic_tx.update(cgrad, co, cp)
+                return (optax.apply_updates(cp, cu), co, vn), vloss
+            (cp, co, vn), vlosses = jax.lax.scan(one, (cp, co, vn), None,
+                                                 length=cfg.ppo_epoch)
+            return cp, co, vn, vlosses.mean()
+
+        def trpo_actor_update(ap, batch, factor):
+            """HATRPO actor step (hatrpo_trainer.py:152-320): CG on the Fisher,
+            analytic step size sqrt(2*delta/sFs), backtracking line search with
+            KL check and expected-improvement accept ratio."""
+            from jax.flatten_util import ravel_pytree
+            flat, unravel = ravel_pytree(ap)
+            mean_o, std_o = actor.apply(ap, batch["obs"])
+            old_logp = nets.normal_log_prob(mean_o, std_o, batch["actions"])
+
+            def surrogate(p_flat):
+                mean, std = actor.apply(unravel(p_flat), batch["obs"])
+                logp = nets.normal_log_prob(mean, std, batch["actions"])
+                return jnp.mean(factor * jnp.exp(logp - batch["logp"]) * batch["adv"])
+
+            def mean_kl(p_flat):
+                mean, std = actor.apply(unravel(p_flat), batch["obs"])
+                return jnp.mean(jnp.sum(
+                    jnp.log(std / std_o)
+                    + (std_o**2 + (mean_o - mean) ** 2) / (2.0 * std**2) - 0.5, axis=-1))
+
+            g = jax.grad(surrogate)(flat)
+
+            def fvp(v):
+                return jax.jvp(jax.grad(mean_kl), (flat,), (v,))[1] + 0.1 * v
+
+            def cg(b, iters=10):
+                def body(i, st):
+                    x, r, p, rs = st
+                    Ap = fvp(p)
+                    alpha = rs / (jnp.dot(p, Ap) + 1e-10)
+                    x = x + alpha * p
+                    r = r - alpha * Ap
+                    rs_n = jnp.dot(r, r)
+                    p = r + (rs_n / (rs + 1e-10)) * p
+                    return (x, r, p, rs_n)
+                st = (jnp.zeros_like(b), b, b, jnp.dot(b, b))
+                return jax.lax.fori_loop(0, iters, body, st)[0]
+
+            step_dir = cg(g)
+            sFs = jnp.dot(step_dir, fvp(step_dir))
+            beta = jnp.sqrt(2.0 * cfg.kl_threshold / jnp.maximum(sFs, 1e-10))
+            full_step = beta * step_dir
+            old_surr = surrogate(flat)
+            expected = jnp.dot(g, full_step)
+
+            def ls(carry, i):
+                accepted, best = carry
+                scale = 0.5 ** i
+                cand = flat + scale * full_step
+                improve = surrogate(cand) - old_surr
+                ratio = improve / jnp.maximum(expected * scale, 1e-10)
+                ok = (improve > 0) & (ratio > cfg.accept_ratio) & (mean_kl(cand) <= cfg.kl_threshold)
+                take = (~accepted) & ok
+                return (accepted | take, jnp.where(take, cand, best)), None
+
+            (accepted, new_flat), _ = jax.lax.scan(
+                ls, (jnp.asarray(False), flat), jnp.arange(cfg.ls_step))
+            return unravel(new_flat), -old_surr
+
         def agent_epochs(ap, ao, cp, co, vn, batch, factor):
             """cfg.ppo_epoch full-batch updates for ONE agent.  batch leaves
             are flat [T*E, ...]."""
@@ -334,8 +410,12 @@ class MarlRunner:
 
                     mean_o, std_o = actor.apply(ap, batch["obs"])
                     old_logp = nets.normal_log_prob(mean_o, std_o, batch["actions"])
-                    ap, ao, cp, co, vn, aloss, vloss = agent_epochs(
-                        ap, ao, cp, co, vn, batch, factor)
+                    if cfg.algorithm_name == "hatrpo":
+                        ap, aloss = trpo_actor_update(ap, batch, factor)
+                        cp, co, vn, vloss = critic_epochs(cp, co, vn, batch)
+                    else:
+                        ap, ao, cp, co, vn, aloss, vloss = agent_epochs(
+                            ap, ao, cp, co, vn, batch, factor)
                     mean_n, std_n = actor.apply(ap, batch["obs"])
                     new_logp = nets.normal_log_prob(mean_n, std_n, batch["actions"])
                     factor = factor * jnp.exp(new_logp - old_logp)

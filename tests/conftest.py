@@ -14,3 +14,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# /root/.axon_site/sitecustomize.py imports jax at interpreter startup, which
+# latches JAX_PLATFORMS=axon before this file runs - override via the config
+# API as well.
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -53,7 +53,7 @@ class TeamEnv:
                           obs=self._obs(pos, progress), reward=reward)
 
 
-@pytest.mark.parametrize("algo", ["mappo", "ippo", "happo"])
+@pytest.mark.parametrize("algo", ["mappo", "ippo", "happo", "hatrpo"])
 def test_marl_iteration_runs(algo):
     cfg = MarlConfig(algorithm_name=algo, episode_length=4, ppo_epoch=2,
                      hidden_size=32, layer_n=1)

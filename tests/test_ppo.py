@@ -92,3 +92,14 @@ def test_ppo_learns_toy():
     late = np.mean(rewards[-5:])
     assert np.isfinite(rewards).all()
     assert late > early + 0.2, (early, late)
+
+
+def test_trpo_iteration_runs():
+    from massive_marl_tpu.algos.rl.trpo import TRPO, TRPOConfig
+    cfg = TRPOConfig(nsteps=8, hidden=(32, 32), cg_nsteps=5, vf_epochs=2)
+    trpo = TRPO(ToyEnv(), num_envs=8, cfg=cfg, seed=0, print_log=False)
+    ts = trpo.init_state()
+    ts2, m = trpo._train_iter(ts)
+    import numpy as np
+    assert np.isfinite(float(m["mean_reward"]))
+    assert np.isfinite(float(m["value_loss"]))
