@@ -17,17 +17,23 @@ def dataset_dir(root: str, task: str, datatype: str) -> str:
 
 
 def save_dataset(path: str, states, actions, rewards, dones, next_states):
+    from massive_marl_tpu import native
     os.makedirs(path, exist_ok=True)
     arrays = dict(states=states, actions=actions, rewards=rewards, dones=dones,
                   next_states=next_states)
     for name in FILES:
-        np.save(os.path.join(path, f"{name}.npy"), np.asarray(arrays[name], np.float32))
+        native.write_npy(os.path.join(path, f"{name}.npy"),
+                         np.asarray(arrays[name], np.float32))
 
 
 def load_dataset(path: str):
+    """Zero-copy mmap'd load via the native reader (numpy fallback inside)."""
+    from massive_marl_tpu import native
     out = {}
     for name in FILES:
-        out[name] = np.load(os.path.join(path, f"{name}.npy")).astype(np.float32)
+        m = native.NpyMmap(os.path.join(path, f"{name}.npy"))
+        out[name] = m.as_array().copy()
+        m.close()
     n = len(out["states"])
     for name in FILES:
         assert len(out[name]) == n, (name, len(out[name]), n)

@@ -11,7 +11,7 @@ integrate]) is a `lax.scan` body, vmapped over the env axis by the wrappers.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +28,9 @@ class AntSceneState:
     box_qpos: jnp.ndarray   # [7]  (unused zeros when the scene has no box)
     box_qvel: jnp.ndarray   # [6]
     sensors: jnp.ndarray    # [A, 4, 6] foot contact wrenches (body frame)
+    # per-env randomized System (domain randomization, phys/dr.py); the empty
+    # tuple when DR is off so the pytree structure stays uniform
+    sys: Any = ()
 
 
 class AntSceneSpec(NamedTuple):
@@ -43,11 +46,13 @@ class AntSceneSpec(NamedTuple):
     # pair frictions: geom frictions combine multiplicatively so the
     # zero-friction box stays frictionless against ants (ten_ant.py:548-552)
     plane_friction: float = 1.0
+    # domain randomization spec (actor_params.ant subtree) or None
+    dr_spec: Any = None
 
 
 def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -> AntSceneState:
     """Advance one control step.  actions: [A, 8] in [-1, 1]."""
-    sys = spec.ant_sys
+    sys = state.sys if spec.dr_spec is not None else spec.ant_sys
     h = spec.dt / spec.substeps
     gravity = jnp.asarray(spec.gravity)
     cp = spec.contact
@@ -103,7 +108,7 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
         substep, (state.ant_qpos, state.ant_qvel, state.box_qpos, state.box_qvel),
         None, length=spec.substeps)
     return AntSceneState(ant_qpos=aq, ant_qvel=av, box_qpos=bq, box_qvel=bv,
-                         sensors=sens_hist[-1])
+                         sensors=sens_hist[-1], sys=state.sys)
 
 
 def reset_scene(spec: AntSceneSpec, key: jnp.ndarray, ant_start: jnp.ndarray,
@@ -116,7 +121,13 @@ def reset_scene(spec: AntSceneSpec, key: jnp.ndarray, ant_start: jnp.ndarray,
     (ten_ant.py:822-854)."""
     sys = spec.ant_sys
     A = spec.num_ants
-    kp, kv = jax.random.split(key)
+    key, kp, kv = jax.random.split(key, 3)
+    if spec.dr_spec is not None:
+        from massive_marl_tpu.phys import dr
+        key, kd = jax.random.split(key)
+        sys_rand = dr.randomize_system(sys, kd, spec.dr_spec)
+    else:
+        sys_rand = ()
     dpos = jax.random.uniform(kp, (sys.nj,), minval=-pos_noise, maxval=pos_noise)
     dvel = jax.random.uniform(kv, (sys.nj,), minval=-vel_noise, maxval=vel_noise)
     hinge = jnp.clip(init_hinge + dpos, sys.jnt_range[:, 0], sys.jnt_range[:, 1])
@@ -130,4 +141,5 @@ def reset_scene(spec: AntSceneSpec, key: jnp.ndarray, ant_start: jnp.ndarray,
         box_qpos = jnp.zeros(7).at[6].set(1.0)
     return AntSceneState(ant_qpos=qpos, ant_qvel=qvel, box_qpos=box_qpos,
                          box_qvel=jnp.zeros(6),
-                         sensors=jnp.zeros((A, max(sys.num_sensors, 1), 6)))
+                         sensors=jnp.zeros((A, max(sys.num_sensors, 1), 6)),
+                         sys=sys_rand)

@@ -59,6 +59,15 @@ class OneAntEnv:
         dt = sim_cfg.get("dt", 0.0166)
         substeps = sim_cfg.get("substeps", 8)
 
+        # domain randomization (base_task.py:216-410; spec TenAnt.yaml:84-121)
+        from massive_marl_tpu.phys import dr as _dr
+        task_cfg = cfg.get("task", {})
+        self.randomize = bool(task_cfg.get("randomize", False))
+        rp = task_cfg.get("randomization_params", {}) or {}
+        dr_spec = (rp.get("actor_params", {}) or {}).get("ant") if self.randomize else None
+        self._obs_noise = _dr.noise_fn(rp.get("observations") if self.randomize else None)
+        self._act_noise = _dr.noise_fn(rp.get("actions") if self.randomize else None)
+
         model = mjcf.parse_mjcf(mjcf.asset_path("ant.xml"))
         self.model = model
         self.spec = AntSceneSpec(
@@ -69,6 +78,7 @@ class OneAntEnv:
             dt=dt,
             substeps=substeps,
             power_scale=self.power_scale,
+            dr_spec=dr_spec,
         )
         self.init_hinge = jnp.asarray(model.init_hinge)
         self.targets = jnp.zeros(3)
@@ -104,16 +114,18 @@ class OneAntEnv:
 
     def step(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
         # 1. physics on the pre-reset state (reference order, base_task.py:129-149)
-        stepped = scene_step(self.spec, state.pipeline, actions[None, :])
+        key, kn_a, kn_o = jax.random.split(state.key, 3)
+        applied = self._act_noise(kn_a, actions)  # DR action noise (base_task.py:262-300)
+        stepped = scene_step(self.spec, state.pipeline, applied[None, :])
         # 2. auto-reset envs flagged done last step
-        key, sub = jax.random.split(state.key)
+        key, sub = jax.random.split(key)
         fresh = self._fresh_pipeline(sub)
         pipeline = select_tree(state.done, fresh, stepped)
         carry_prev = select_tree(state.done, self._carry_of(fresh), state.carry)
         progress = jnp.where(state.done, 0, state.progress + 1)
 
         # 3. obs / reward / done
-        obs = self._obs(pipeline, actions)
+        obs = self._obs_noise(kn_o, self._obs(pipeline, actions))
         reward, done = self._reward(obs, actions, pipeline, carry_prev, progress)
         carry = self._carry_of(pipeline)
         return EnvState(pipeline=pipeline, carry=carry, progress=progress,

@@ -67,6 +67,15 @@ class TenAntEnv:
         dt = sim_cfg.get("dt", 0.0166)
         substeps = sim_cfg.get("substeps", 8)
 
+        # domain randomization (base_task.py:216-410; spec TenAnt.yaml:84-121)
+        from massive_marl_tpu.phys import dr as _dr
+        task_cfg = cfg.get("task", {})
+        self.randomize = bool(task_cfg.get("randomize", False))
+        rp = task_cfg.get("randomization_params", {}) or {}
+        dr_spec = (rp.get("actor_params", {}) or {}).get("ant") if self.randomize else None
+        self._obs_noise = _dr.noise_fn(rp.get("observations") if self.randomize else None)
+        self._act_noise = _dr.noise_fn(rp.get("actions") if self.randomize else None)
+
         model = mjcf.parse_mjcf(mjcf.asset_path("ant.xml"))
         self.model = model
         self.spec = AntSceneSpec(
@@ -77,6 +86,7 @@ class TenAntEnv:
             dt=dt,
             substeps=substeps,
             power_scale=self.power_scale,
+            dr_spec=dr_spec,
         )
         self.init_hinge = jnp.asarray(model.init_hinge)
         self.targets = jnp.zeros(3)
@@ -124,14 +134,16 @@ class TenAntEnv:
     def step(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
         """actions: flat [80] (joint-action layout, ten_ant.py:886-891)."""
         actions = actions.reshape(10, 8)
-        stepped = scene_step(self.spec, state.pipeline, actions)
-        key, sub = jax.random.split(state.key)
+        key, kn_a, kn_o = jax.random.split(state.key, 3)
+        applied = self._act_noise(kn_a, actions)  # DR action noise
+        stepped = scene_step(self.spec, state.pipeline, applied)
+        key, sub = jax.random.split(key)
         fresh = self._fresh_pipeline(sub)
         pipeline = select_tree(state.done, fresh, stepped)
         carry_prev = select_tree(state.done, self._carry_of(fresh), state.carry)
         progress = jnp.where(state.done, 0, state.progress + 1)
 
-        obs = self._obs(pipeline, actions)
+        obs = self._obs_noise(kn_o, self._obs(pipeline, actions))
         reward, done = self._reward(obs, actions, pipeline, carry_prev, progress)
         return EnvState(pipeline=pipeline, carry=self._carry_of(pipeline),
                         progress=progress, done=done, key=key, obs=obs,

@@ -373,17 +373,20 @@ def contact_box(p_w, v_w, radius, friction, box_pos, box_quat, box_vel,
     clamped = jnp.clip(local, -he, he)
     delta = local - clamped
     dist_out = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-12)
-    # outside: depth = r - dist; inside the box: push out along min-penetration face
+    # outside: depth = r - dist; inside the box: push out along min-penetration
+    # face.  All branchless/elementwise - no argmin/gather on the TPU hot path.
     inside = jnp.all(jnp.abs(local) < he, axis=-1)
     face_pen = he - jnp.abs(local)                      # [P,3] >=0 inside
-    min_ax = jnp.argmin(face_pen, axis=-1)
-    face_n_local = jnp.sign(
-        jnp.take_along_axis(local, min_ax[..., None], axis=-1)
-    ) * jax.nn.one_hot(min_ax, 3)
+    min_pen = jnp.min(face_pen, axis=-1)
+    # one-hot of the min axis with a fixed x>y>z tie-break priority
+    is_min = face_pen <= min_pen[..., None] + 1e-12
+    m0 = is_min[..., 0]
+    m1 = is_min[..., 1] & ~m0
+    m2 = is_min[..., 2] & ~m0 & ~m1
+    onehot = jnp.stack([m0, m1, m2], axis=-1).astype(local.dtype)
+    face_n_local = jnp.sign(local) * onehot
     n_local = jnp.where(inside[..., None], face_n_local, delta / dist_out[..., None])
-    depth_out = radius - dist_out
-    depth_in = radius + jnp.take_along_axis(face_pen, min_ax[..., None], axis=-1)[..., 0]
-    depth = jnp.where(inside, depth_in, depth_out)
+    depth = jnp.where(inside, radius + min_pen, radius - dist_out)
     normal = jnp.sum(R * n_local[..., None, :], axis=-1)  # R x, box->world
 
     # contact point on box surface (world)

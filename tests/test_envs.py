@@ -113,3 +113,24 @@ def test_multi_agent_split():
     assert per.shape == (2, 10, 46)
     np.testing.assert_allclose(np.array(per[0, 3, :38]), np.arange(3 * 38, 4 * 38))
     np.testing.assert_allclose(np.array(per[1, 0, 38:]), np.arange(388 + 380, 388 + 388))
+
+
+def test_domain_randomization():
+    import yaml, os
+    from massive_marl_tpu.utils.config import CFG_ROOT
+    with open(os.path.join(CFG_ROOT, "OneAnt.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["task"]["randomize"] = True
+    env = OneAntEnv(cfg)
+    s1 = env.reset(jax.random.PRNGKey(0))
+    s2 = env.reset(jax.random.PRNGKey(1))
+    # randomized masses differ between envs and from the nominal system
+    m1 = np.array(s1.pipeline.sys.mass)
+    m2 = np.array(s2.pipeline.sys.mass)
+    m0 = np.array(env.spec.ant_sys.mass)
+    assert not np.allclose(m1, m2)
+    assert not np.allclose(m1, m0)
+    assert (m1 > 0.5 * m0 - 1e-6).all() and (m1 < 1.5 * m0 + 1e-6).all()
+    # stepping works with the randomized system
+    st = jax.jit(env.step)(s1, jnp.zeros(8))
+    assert np.isfinite(np.array(st.obs)).all()
