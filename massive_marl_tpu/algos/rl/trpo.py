@@ -312,3 +312,8 @@ class TRPO:
         self.state = self.state.replace(**restored)
 
     test = load
+
+    def act_inference(self, obs):
+        mean, _ = self.actor.apply(self.state.actor_params,
+                                   jnp.clip(obs, -self.cfg.clip_obs, self.cfg.clip_obs))
+        return mean

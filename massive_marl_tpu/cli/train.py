@@ -32,6 +32,25 @@ def process_sarl(args, env, cfg_train, logdir, num_envs):
     return trainer
 
 
+def evaluate_sarl(trainer, env, num_envs, n_steps: int = 1000):
+    """Deterministic (mean-action) evaluation loop - the bounded version of
+    the reference's endless --test loop (ppo.py:103-112)."""
+    import jax
+    import jax.numpy as jnp
+    if trainer.state is None:
+        trainer.state = trainer.init_state()
+    env_state = trainer.state.env_state
+
+    def step(carry, _):
+        st = carry
+        a = trainer.act_inference(st.obs)
+        st = jax.vmap(env.step)(st, jnp.clip(a, -1.0, 1.0))
+        return st, st.reward
+
+    _, rewards = jax.jit(lambda s: jax.lax.scan(step, s, None, length=n_steps))(env_state)
+    return float(rewards.mean())
+
+
 def train(args=None):
     args = args or cfg_mod.get_args()
     cfg_mod.set_np_formatting()
@@ -66,6 +85,7 @@ def train(args=None):
         if args.model_dir:
             trainer.load(args.model_dir)
         if args.test:
+            print("eval mean reward/step:", evaluate_sarl(trainer, env, num_envs))
             return trainer
         n = args.max_iterations or None
         trainer.run(n)

@@ -62,21 +62,33 @@ def test_one_ant_alive_reward_near_reset(one_ant):
     assert 0.0 < r < 10.0, r
 
 
-def test_one_ant_death_and_autoreset(one_ant):
+def test_one_ant_death_semantics(one_ant):
+    """The fallen predicate and death reward, tested directly on the reward
+    function (the contact spring legitimately bounces a teleported ant, so we
+    don't fight the physics here)."""
     env = one_ant
     state = env.reset(jax.random.PRNGKey(1))
-    # force the ant far below the termination height
-    pipeline = state.pipeline.replace(
-        ant_qpos=state.pipeline.ant_qpos.at[0, 2].set(0.1))
-    state = state.replace(pipeline=pipeline)
+    obs_fallen = state.obs.at[0].set(0.30)  # below terminationHeight 0.31
+    reward, done = jax.jit(env._reward)(obs_fallen, jnp.zeros(8), state.pipeline,
+                                        state.carry, state.progress)
+    assert bool(done)
+    assert float(reward) == pytest.approx(env.death_cost)
+
+
+def test_one_ant_timeout_autoreset(one_ant):
+    """progress >= episodeLength-1 -> done; the following step restarts the
+    episode from a fresh spawn (reference auto-reset order, ten_ant.py:894-901)."""
+    env = one_ant
+    state = env.reset(jax.random.PRNGKey(1))
+    state = state.replace(progress=jnp.asarray(env.max_episode_length - 2, jnp.int32))
     st2 = jax.jit(env.step)(state, jnp.zeros(8))
     assert bool(st2.done)
-    assert float(st2.reward) == pytest.approx(env.death_cost)
-    # the step after a done must be a fresh episode
     st3 = jax.jit(env.step)(st2, jnp.zeros(8))
     assert int(st3.progress) == 0
     assert float(st3.obs[0]) > 0.8  # respawned at z=1
     assert not bool(st3.done)
+    # fresh episode: ant back at spawn x=-6
+    assert abs(float(st3.pipeline.ant_qpos[0, 0]) + 6.0) < 0.1
 
 
 def test_ten_ant_shapes():
