@@ -34,8 +34,11 @@ def main():
     ppo = PPO(env, num_envs=num_envs, cfg=cfg, seed=0, print_log=False)
     ts = ppo.init_state()
 
-    # compile + warmup
-    ts, _ = ppo._train_iter(ts)
+    # compile + warmup: the axon runtime's first ~10 executions of a program
+    # include on-demand upload/allocation costs; measure steady state
+    warmup = int(os.environ.get("BENCH_WARMUP", 12))
+    for _ in range(warmup):
+        ts, _ = ppo._train_iter(ts)
     jax.block_until_ready(ts.params)
 
     t0 = time.perf_counter()

@@ -1,0 +1,381 @@
+"""MAT: Multi-Agent Transformer.
+
+TPU-native implementation of the architecture vendored (dead) in the
+reference at agents/algorithms/marl/onpolicy/algorithms/mat/algorithm/
+ma_transformer.py:19-312: an encoder with self-attention over the AGENT axis
+producing per-agent representations + values, and a decoder that generates
+actions autoregressively with causally-masked agent-axis attention
+(transformer_act.py).  Trained with a PPO-style clipped joint objective.
+
+On TPU the agent axis (N=10) attention is a pair of small einsums riding the
+batch dimension - exactly the "mesh-ready agent-axis attention" called out in
+SURVEY.md sections 2.4/5.  Rollout-time autoregressive decoding is a
+lax.scan over agents.
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from flax import struct
+
+from massive_marl_tpu.algos.marl import nets as marl_nets
+from massive_marl_tpu.wrap.vec_task import split_multi_agent_obs
+
+
+class SelfAttention(nn.Module):
+    embed: int
+    heads: int = 1
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x, kv=None):
+        """x: [..., N, embed]; attention over the N (agent) axis."""
+        kv = x if kv is None else kv
+        H, D = self.heads, self.embed // self.heads
+        q = nn.Dense(self.embed)(x).reshape(*x.shape[:-1], H, D)
+        k = nn.Dense(self.embed)(kv).reshape(*kv.shape[:-1], H, D)
+        v = nn.Dense(self.embed)(kv).reshape(*kv.shape[:-1], H, D)
+        att = jnp.einsum("...qhd,...khd->...hqk", q, k) / np.sqrt(D)
+        if self.causal:
+            N = x.shape[-2]
+            mask = jnp.tril(jnp.ones((N, N), bool))
+            att = jnp.where(mask, att, -1e9)
+        att = jax.nn.softmax(att, axis=-1)
+        out = jnp.einsum("...hqk,...khd->...qhd", att, v)
+        return nn.Dense(self.embed)(out.reshape(*x.shape[:-1], self.embed))
+
+
+class Block(nn.Module):
+    embed: int
+    heads: int = 1
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x, kv=None):
+        x = x + SelfAttention(self.embed, self.heads, self.causal)(nn.LayerNorm()(x),
+                                                                   kv)
+        h = nn.Dense(4 * self.embed)(nn.LayerNorm()(x))
+        return x + nn.Dense(self.embed)(nn.gelu(h))
+
+
+class MatEncoder(nn.Module):
+    """obs [ ..., N, obs_dim] -> (repr [..., N, embed], values [..., N])."""
+    embed: int = 64
+    blocks: int = 2
+    heads: int = 1
+
+    @nn.compact
+    def __call__(self, obs):
+        x = nn.Dense(self.embed)(nn.LayerNorm()(obs))
+        x = nn.gelu(x)
+        for _ in range(self.blocks):
+            x = Block(self.embed, self.heads)(x)
+        v = jnp.squeeze(nn.Dense(1)(nn.LayerNorm()(x)), -1)
+        return x, v
+
+
+class MatDecoder(nn.Module):
+    """(encoded obs repr, shifted prev actions) -> per-agent action means.
+
+    Causal attention over the agent axis: agent i sees actions of agents < i
+    (transformer_act autoregressive decode)."""
+    act_dim: int
+    embed: int = 64
+    blocks: int = 2
+    heads: int = 1
+
+    @nn.compact
+    def __call__(self, rep, prev_actions):
+        a = nn.Dense(self.embed)(prev_actions)
+        x = a + rep
+        for _ in range(self.blocks):
+            x = Block(self.embed, self.heads, causal=True)(x)
+        mean = nn.Dense(self.act_dim,
+                        kernel_init=nn.initializers.orthogonal(0.01))(nn.LayerNorm()(x))
+        log_std = self.param("log_std", nn.initializers.constant(np.log(0.5)),
+                             (self.act_dim,))
+        return mean, jnp.broadcast_to(jnp.exp(log_std), mean.shape)
+
+
+@dataclass
+class MatConfig:
+    episode_length: int = 8
+    num_env_steps: int = 50_000_000
+    gamma: float = 0.96
+    gae_lambda: float = 0.95
+    clip_param: float = 0.2
+    ppo_epoch: int = 5
+    value_loss_coef: float = 1.0
+    entropy_coef: float = 0.0
+    max_grad_norm: float = 10.0
+    lr: float = 5e-4
+    embed: int = 64
+    blocks: int = 2
+    heads: int = 1
+    clip_obs: float = 7.0
+    clip_actions: float = 1.0
+    save_interval: int = 200
+
+
+@struct.dataclass
+class MatTrainState:
+    params: Any
+    opt_state: Any
+    vnorm: Any
+    env_state: Any
+    key: jnp.ndarray
+    iteration: jnp.ndarray
+
+
+class MatModel(nn.Module):
+    act_dim: int
+    embed: int
+    blocks: int
+    heads: int
+
+    def setup(self):
+        self.encoder = MatEncoder(self.embed, self.blocks, self.heads)
+        self.decoder = MatDecoder(self.act_dim, self.embed, self.blocks, self.heads)
+
+    def __call__(self, obs, prev_actions):
+        rep, values = self.encoder(obs)
+        mean, std = self.decoder(rep, prev_actions)
+        return mean, std, values
+
+    def encode(self, obs):
+        return self.encoder(obs)
+
+    def decode(self, rep, prev_actions):
+        return self.decoder(rep, prev_actions)
+
+
+class MatRunner:
+    """MAT trainer over a MultiVec-style env (shared team reward)."""
+
+    def __init__(self, env, num_envs: int, cfg: MatConfig | None = None,
+                 seed: int = 0, log_dir: str | None = None, print_log: bool = True):
+        self.env = env
+        self.num_envs = num_envs
+        self.cfg = cfg or MatConfig()
+        self.seed = seed
+        self.log_dir = log_dir
+        self.print_log = print_log
+        self.N = env.num_agents
+        self.act_dim = env.num_actions
+        self.obs_dim = env.num_ant_obs + (env.num_obs - env.num_agents * env.num_ant_obs)
+        c = self.cfg
+        self.model = MatModel(self.act_dim, c.embed, c.blocks, c.heads)
+        self.tx = optax.chain(optax.clip_by_global_norm(c.max_grad_norm),
+                              optax.adam(c.lr, eps=1e-5))
+        self._train_iter = jax.jit(self._make_train_iter())
+        self.state: MatTrainState | None = None
+
+    def init_state(self) -> MatTrainState:
+        key = jax.random.PRNGKey(self.seed)
+        key, km, ke = jax.random.split(key, 3)
+        obs0 = jnp.zeros((1, self.N, self.obs_dim))
+        act0 = jnp.zeros((1, self.N, self.act_dim))
+        params = self.model.init(km, obs0, act0)
+        env_state = jax.jit(jax.vmap(self.env.reset))(
+            jax.random.split(ke, self.num_envs))
+        return MatTrainState(params=params, opt_state=self.tx.init(params),
+                             vnorm=marl_nets.ValueNorm.create(),
+                             env_state=env_state, key=key,
+                             iteration=jnp.asarray(0, jnp.int32))
+
+    def _obs_view(self, obs_buf):
+        return split_multi_agent_obs(obs_buf, self.N, self.env.num_ant_obs)
+
+    def _decode_autoregressive(self, params, rep, key):
+        """Sequential decode over agents (transformer_act.py): each agent's
+        action is sampled conditioned on previously sampled agents."""
+        E = rep.shape[0]
+        N, A = self.N, self.act_dim
+
+        def body(carry, i):
+            actions, key = carry
+            key, k = jax.random.split(key)
+            prev = jnp.concatenate([jnp.zeros((E, 1, A)), actions[:, :-1]], axis=1)
+            mean, std = self.model.apply(params, rep, prev, method=MatModel.decode)
+            a_i = mean[:, i] + std[:, i] * jax.random.normal(k, (E, A))
+            actions = actions.at[:, i].set(a_i)
+            return (actions, key), None
+
+        (actions, key), _ = jax.lax.scan(body, (jnp.zeros((E, N, A)), key),
+                                         jnp.arange(N))
+        return actions
+
+    def _joint_logp(self, mean, std, actions):
+        z = (actions - mean) / std
+        per_agent = jnp.sum(-0.5 * z**2 - jnp.log(std) - 0.5 * jnp.log(2 * jnp.pi), -1)
+        return jnp.sum(per_agent, axis=-1)  # joint over agents
+
+    def _make_train_iter(self):
+        cfg = self.cfg
+        env = self.env
+        E, N, T = self.num_envs, self.N, cfg.episode_length
+
+        def rollout_step(carry, _):
+            env_state, key, params = carry
+            key, k = jax.random.split(key)
+            obs = self._obs_view(jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs))
+            rep, values = self.model.apply(params, obs, method=MatModel.encode)
+            actions = self._decode_autoregressive(params, rep, k)
+            prev = jnp.concatenate([jnp.zeros((E, 1, self.act_dim)),
+                                    actions[:, :-1]], axis=1)
+            mean, std = self.model.apply(params, rep, prev, method=MatModel.decode)
+            logp = self._joint_logp(mean, std, actions)
+            a_clip = jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions)
+            ns = jax.vmap(env.step)(env_state, a_clip.reshape(E, -1))
+            data = dict(obs=obs, actions=actions, logp=logp,
+                        value=values.mean(-1),  # team value = mean over agents
+                        reward=ns.reward, done=ns.done.astype(jnp.float32))
+            return (ns, key, params), data
+
+        def train_iter(ts: MatTrainState):
+            (env_state, key, _), traj = jax.lax.scan(
+                rollout_step, (ts.env_state, ts.key, ts.params), None, length=T)
+            last_obs = self._obs_view(jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs))
+            _, last_v = self.model.apply(ts.params, last_obs, method=MatModel.encode)
+            last_value = last_v.mean(-1)
+
+            vn = ts.vnorm
+            v_den = vn.denormalize(traj["value"])
+            last_den = vn.denormalize(last_value)
+
+            def back(adv, x):
+                r, d, v, nv = x
+                delta = r + cfg.gamma * nv * (1 - d) - v
+                adv = delta + cfg.gamma * cfg.gae_lambda * (1 - d) * adv
+                return adv, adv
+
+            nv_seq = jnp.concatenate([v_den[1:], last_den[None]], 0)
+            _, adv = jax.lax.scan(back, jnp.zeros(E),
+                                  (traj["reward"], traj["done"], v_den, nv_seq),
+                                  reverse=True)
+            returns = adv + v_den
+            adv_n = (adv - adv.mean()) / (adv.std() + 1e-5)
+
+            batch = dict(obs=traj["obs"].reshape(T * E, N, -1),
+                         actions=traj["actions"].reshape(T * E, N, -1),
+                         logp=traj["logp"].reshape(T * E),
+                         value=traj["value"].reshape(T * E),
+                         adv=adv_n.reshape(T * E),
+                         returns=returns.reshape(T * E))
+
+            def loss_fn(params, vn):
+                rep, values = self.model.apply(params, batch["obs"], method=MatModel.encode)
+                prev = jnp.concatenate([jnp.zeros((T * E, 1, self.act_dim)),
+                                        batch["actions"][:, :-1]], axis=1)
+                mean, std = self.model.apply(params, rep, prev, method=MatModel.decode)
+                logp = self._joint_logp(mean, std, batch["actions"])
+                ratio = jnp.exp(logp - batch["logp"])
+                surr = jnp.minimum(ratio * batch["adv"],
+                                   jnp.clip(ratio, 1 - cfg.clip_param,
+                                            1 + cfg.clip_param) * batch["adv"])
+                policy_loss = -jnp.mean(surr)
+                v = values.mean(-1)
+                ret_n = vn.normalize(batch["returns"])
+                v_clip = batch["value"] + jnp.clip(v - batch["value"],
+                                                   -cfg.clip_param, cfg.clip_param)
+                vloss = jnp.mean(jnp.maximum(
+                    marl_nets.huber(ret_n - v, 10.0), marl_nets.huber(ret_n - v_clip, 10.0)))
+                return policy_loss + cfg.value_loss_coef * vloss, (policy_loss, vloss)
+
+            def epoch(carry, _):
+                params, opt_state, vn = carry
+                vn = vn.update(batch["returns"])
+                (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, vn)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, vn), aux
+
+            (params, opt_state, vn), aux = jax.lax.scan(
+                epoch, (ts.params, ts.opt_state, ts.vnorm), None, length=cfg.ppo_epoch)
+
+            metrics = dict(mean_reward=traj["reward"].mean(),
+                           policy_loss=aux[0].mean(), value_loss=aux[1].mean())
+            return MatTrainState(params=params, opt_state=opt_state, vnorm=vn,
+                                 env_state=env_state, key=key,
+                                 iteration=ts.iteration + 1), metrics
+
+        return train_iter
+
+    def run(self, num_env_steps: int | None = None, log_interval: int = 1):
+        from massive_marl_tpu.utils.logging import Writer
+        spi = self.cfg.episode_length * self.num_envs
+        n = max(1, int((num_env_steps or self.cfg.num_env_steps) // spi))
+        if self.state is None:
+            self.state = self.init_state()
+        writer = Writer(self.log_dir) if self.log_dir else None
+        for it in range(int(self.state.iteration), n):
+            t0 = time.time()
+            self.state, m = self._train_iter(self.state)
+            if it % log_interval == 0:
+                mm = {k: float(v) for k, v in m.items()}
+                fps = spi / (time.time() - t0)
+                if writer:
+                    writer.add_scalar("train/mean_reward", mm["mean_reward"], it)
+                    writer.add_scalar("train/value_loss", mm["value_loss"], it)
+                if self.print_log:
+                    print(f"[mat] it {it}: rew {mm['mean_reward']:.3f} fps {fps:.0f}")
+            if self.log_dir and self.cfg.save_interval and (it + 1) % self.cfg.save_interval == 0:
+                self.save(os.path.join(self.log_dir, f"mat_{it + 1}.ckpt"))
+        if writer:
+            writer.flush()
+        return self.state
+
+    def save(self, path):
+        from flax import serialization
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes({"params": self.state.params,
+                                            "iteration": self.state.iteration}))
+
+    def restore(self, path):
+        from flax import serialization
+        if self.state is None:
+            self.state = self.init_state()
+        tmpl = {"params": self.state.params, "iteration": self.state.iteration}
+        with open(path, "rb") as f:
+            restored = serialization.from_bytes(tmpl, f.read())
+        self.state = self.state.replace(**restored)
+
+    def eval(self, n_steps: int = 1000):
+        if self.state is None:
+            self.state = self.init_state()
+        cfg = self.cfg
+
+        def step(carry, _):
+            st, key = carry
+            key, k = jax.random.split(key)
+            obs = self._obs_view(jnp.clip(st.obs, -cfg.clip_obs, cfg.clip_obs))
+            rep, _ = self.model.apply(self.state.params, obs, method=MatModel.encode)
+            # deterministic: mean actions via zero-noise autoregressive pass
+            E = obs.shape[0]
+
+            def body(carry2, i):
+                actions = carry2
+                prev = jnp.concatenate([jnp.zeros((E, 1, self.act_dim)),
+                                        actions[:, :-1]], axis=1)
+                mean, _ = self.model.apply(self.state.params, rep, prev,
+                                           method=MatModel.decode)
+                return actions.at[:, i].set(mean[:, i]), None
+
+            actions, _ = jax.lax.scan(body, jnp.zeros((E, self.N, self.act_dim)),
+                                      jnp.arange(self.N))
+            st = jax.vmap(self.env.step)(st, jnp.clip(actions, -1, 1).reshape(E, -1))
+            return (st, key), st.reward
+
+        (_, _), rewards = jax.jit(lambda s, k: jax.lax.scan(step, (s, k), None,
+                                                            length=n_steps))(
+            self.state.env_state, self.state.key)
+        return float(rewards.mean())

@@ -37,9 +37,11 @@ class MLPBase(nn.Module):
             x = nn.LayerNorm()(x)
         gain = np.sqrt(2)  # relu gain (mlp.py:14)
         for _ in range(1 + self.layer_n):
-            x = nn.Dense(self.hidden_size, kernel_init=orthogonal_init(gain))(x)
+            # matmuls in bf16 (MXU native); LayerNorm statistics in f32
+            x = nn.Dense(self.hidden_size, kernel_init=orthogonal_init(gain),
+                         dtype=jnp.bfloat16)(x)
             x = nn.elu(x)
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm()(x.astype(jnp.float32))
         return x
 
 

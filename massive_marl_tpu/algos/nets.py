@@ -15,7 +15,7 @@ matmuls straight onto the MXU.
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -37,12 +37,17 @@ class MLP(nn.Module):
     out_dim: int
     activation: str = "elu"
     out_gain: float = 0.01
+    # bf16 compute on the hidden matmuls (MXU native); params stay f32 and
+    # the output head runs in f32 so log-prob/KL math keeps full precision
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         act = _ACT[self.activation]
         for h in self.hidden:
-            x = act(nn.Dense(h, kernel_init=orthogonal_init(np.sqrt(2)))(x))
+            x = act(nn.Dense(h, kernel_init=orthogonal_init(np.sqrt(2)),
+                             dtype=self.compute_dtype)(x))
+        x = x.astype(jnp.float32)
         return nn.Dense(self.out_dim, kernel_init=orthogonal_init(self.out_gain))(x)
 
 

@@ -60,7 +60,12 @@ def train(args=None):
 
     if algo in cfg_mod.MARL_ALGOS:
         env = build_env(args.task, cfg, multi_agent=True)
-        if algo == "maddpg":
+        if algo == "mat":
+            from massive_marl_tpu.algos.marl.mat import MatConfig, MatRunner
+            learn = cfg_train if isinstance(cfg_train, dict) else {}
+            runner = MatRunner(env, num_envs=num_envs, cfg=MatConfig(),
+                               seed=cfg.get("seed", 0), log_dir=logdir)
+        elif algo == "maddpg":
             from massive_marl_tpu.algos.marl.maddpg import MaddpgRunner, MaddpgConfig
             runner = MaddpgRunner(env, num_envs=num_envs,
                                   cfg=MaddpgConfig.from_cfg_train(cfg_train),
@@ -71,7 +76,9 @@ def train(args=None):
             runner = MarlRunner(env, num_envs=num_envs, cfg=mc,
                                 seed=cfg.get("seed", 0), log_dir=logdir)
         if args.model_dir:
-            runner.restore(args.model_dir)
+            path = (cfg_mod.latest_checkpoint(logdir) if args.model_dir == "latest"
+                    else args.model_dir)
+            runner.restore(path)
         if args.test:
             print("eval mean reward:", runner.eval(1000))
             return runner
@@ -83,7 +90,9 @@ def train(args=None):
         env = build_env(args.task, cfg, multi_agent=False)
         trainer = process_sarl(args, env, cfg_train, logdir, num_envs)
         if args.model_dir:
-            trainer.load(args.model_dir)
+            path = (cfg_mod.latest_checkpoint(logdir) if args.model_dir == "latest"
+                    else args.model_dir)
+            trainer.load(path)
         if args.test:
             print("eval mean reward/step:", evaluate_sarl(trainer, env, num_envs))
             return trainer

@@ -39,7 +39,7 @@ class AntSceneSpec(NamedTuple):
     box_half_extents: Optional[Tuple[float, float, float]]
     num_ants: int
     dt: float = 0.0166          # control dt (cfg/TenAnt.yaml:63)
-    substeps: int = 8
+    substeps: int = 6
     power_scale: float = 1.0
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
     contact: engine.ContactParams = engine.ContactParams()

@@ -19,7 +19,7 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__fi
 CFG_ROOT = os.path.join(REPO_ROOT, "cfg")
 
 SARL_ALGOS = ["ppo", "trpo", "ddpg", "td3", "sac"]
-MARL_ALGOS = ["mappo", "happo", "hatrpo", "ippo", "maddpg"]
+MARL_ALGOS = ["mappo", "happo", "hatrpo", "ippo", "maddpg", "mat"]
 MTRL_ALGOS = ["mtppo", "random"]
 METARL_ALGOS = ["mamlppo"]
 OFFRL_ALGOS = ["td3_bc", "bcq", "iql", "ppo_collect"]
@@ -87,3 +87,21 @@ def load_cfg(args):
 def set_np_formatting():
     np.set_printoptions(edgeitems=30, infstr="inf", linewidth=4000, nanstr="nan",
                         precision=2, suppress=False, threshold=10000, formatter=None)
+
+
+def get_agent_index(cfg) -> list:
+    """Parse the AgentIndex grouping from an env cfg (reference
+    get_AgentIndex, agents/utils/process_marl.py:9-16)."""
+    import ast
+    raw = cfg.get("env", {}).get("AgentIndex", "[[0]]")
+    if isinstance(raw, str):
+        return ast.literal_eval(raw)
+    return raw
+
+
+def latest_checkpoint(logdir: str, prefix: str = "") -> str | None:
+    """Most recent .ckpt under logdir (auto-resume support; the reference
+    requires a manual --model_dir, SURVEY.md section 5)."""
+    import glob
+    paths = glob.glob(os.path.join(logdir, "**", f"{prefix}*.ckpt"), recursive=True)
+    return max(paths, key=os.path.getmtime) if paths else None

@@ -71,3 +71,16 @@ def test_dataset_roundtrip(tmp_path):
                           np.zeros((4, 1)), np.ones((4, 3)))
     d = datasets.load_dataset(p)
     assert d["states"].shape == (4, 3)
+
+
+def test_mat_iteration():
+    from massive_marl_tpu.algos.marl.mat import MatConfig, MatRunner
+    cfg = MatConfig(episode_length=4, ppo_epoch=2, embed=16, blocks=1)
+    r = MatRunner(TeamEnv(), num_envs=4, cfg=cfg, seed=0, print_log=False)
+    ts = r.init_state()
+    ts2, m = r._train_iter(ts)
+    assert np.isfinite(float(m["mean_reward"]))
+    assert np.isfinite(float(m["value_loss"]))
+    l0 = jax.tree_util.tree_leaves(ts.params)[1]
+    l1 = jax.tree_util.tree_leaves(ts2.params)[1]
+    assert not np.allclose(np.array(l0), np.array(l1))
