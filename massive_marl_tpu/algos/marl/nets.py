@@ -128,3 +128,40 @@ class ValueNorm:
     def denormalize(self, x):
         m, var = self.stats()
         return x * jnp.sqrt(var) + m
+
+
+class MarlActorRNN(nn.Module):
+    """Recurrent actor: MLPBase -> GRU -> DiagGaussian (the reference's
+    optional RNNLayer path, actor_critic.py:35-36 + utils/rnn.py; hidden
+    state is zeroed where mask==0, i.e. at episode boundaries)."""
+    act_dim: int
+    hidden_size: int = 512
+    layer_n: int = 2
+    gain: float = 0.01
+    std_x_coef: float = 1.0
+    std_y_coef: float = 0.5
+
+    @nn.compact
+    def __call__(self, obs, h, mask):
+        """obs [...,obs_dim], h [...,H], mask [...] (1 = continue)."""
+        x = MLPBase(self.hidden_size, self.layer_n)(obs)
+        h = h * mask[..., None]
+        h, out = nn.GRUCell(features=self.hidden_size)(h, x)
+        mean = nn.Dense(self.act_dim, kernel_init=orthogonal_init(self.gain))(out)
+        std_param = self.param("std_param", nn.initializers.constant(self.std_x_coef),
+                               (self.act_dim,))
+        std = jax.nn.sigmoid(std_param / self.std_x_coef) * self.std_y_coef
+        return mean, jnp.broadcast_to(std, mean.shape), h
+
+
+class MarlCriticRNN(nn.Module):
+    hidden_size: int = 512
+    layer_n: int = 2
+
+    @nn.compact
+    def __call__(self, x, h, mask):
+        feat = MLPBase(self.hidden_size, self.layer_n)(x)
+        h = h * mask[..., None]
+        h, out = nn.GRUCell(features=self.hidden_size)(h, feat)
+        v = nn.Dense(1, kernel_init=orthogonal_init(np.sqrt(2)))(out)
+        return jnp.squeeze(v, -1), h

@@ -61,6 +61,7 @@ class MarlConfig:
     ls_step: int = 10
     accept_ratio: float = 0.5
     use_valuenorm: bool = True
+    use_recurrent_policy: bool = False   # GRU path (actor_critic.py:35-36)
     use_huber_loss: bool = True
     use_clipped_value_loss: bool = True
     clip_obs: float = 7.0                # multi_vec_task.py:22
@@ -79,6 +80,7 @@ class MarlConfig:
             "lr": "lr", "critic_lr": "critic_lr", "opti_eps": "opti_eps",
             "hidden_size": "hidden_size", "layer_n": "layer_N", "gain": "gain",
             "std_x_coef": "std_x_coef", "std_y_coef": "std_y_coef",
+            "use_recurrent_policy": "use_recurrent_policy",
             "kl_threshold": "kl_threshold", "ls_step": "ls_step",
             "accept_ratio": "accept_ratio",
             "use_valuenorm": "use_valuenorm",

@@ -73,8 +73,13 @@ def train(args=None):
         else:
             from massive_marl_tpu.algos.marl.runner import MarlConfig, MarlRunner
             mc = MarlConfig.from_cfg_train(cfg_train, algo)
-            runner = MarlRunner(env, num_envs=num_envs, cfg=mc,
-                                seed=cfg.get("seed", 0), log_dir=logdir)
+            if mc.use_recurrent_policy:
+                from massive_marl_tpu.algos.marl.recurrent_runner import RecurrentMarlRunner
+                runner = RecurrentMarlRunner(env, num_envs=num_envs, cfg=mc,
+                                             seed=cfg.get("seed", 0), log_dir=logdir)
+            else:
+                runner = MarlRunner(env, num_envs=num_envs, cfg=mc,
+                                    seed=cfg.get("seed", 0), log_dir=logdir)
         if args.model_dir:
             path = (cfg_mod.latest_checkpoint(logdir) if args.model_dir == "latest"
                     else args.model_dir)

@@ -81,3 +81,18 @@ def test_mappo_learns_team_task():
     early, late = np.mean(rewards[:8]), np.mean(rewards[-8:])
     assert np.isfinite(rewards).all()
     assert late > early + 0.2, (early, late)
+
+
+@pytest.mark.parametrize("algo", ["mappo", "happo"])
+def test_recurrent_marl_runs(algo):
+    from massive_marl_tpu.algos.marl.recurrent_runner import RecurrentMarlRunner
+    cfg = MarlConfig(algorithm_name=algo, episode_length=4, ppo_epoch=2,
+                     hidden_size=16, layer_n=1, use_recurrent_policy=True)
+    runner = RecurrentMarlRunner(TeamEnv(), num_envs=8, cfg=cfg, seed=0,
+                                 print_log=False)
+    ts = runner.init_state()
+    ts2, m = runner._train_iter(ts)
+    assert np.isfinite(float(m["mean_reward"]))
+    assert np.isfinite(float(m["value_loss"]))
+    # hidden states evolve
+    assert not np.allclose(np.array(ts2.actor_h), 0.0)
