@@ -113,8 +113,18 @@ def train(args=None):
             runner = RandomPolicyRunner(envs, num_envs=num_envs, seed=cfg.get("seed", 0))
             runner.run(args.max_iterations or 10)
             return runner
-        trainer = MTPPO(envs, num_envs=num_envs, cfg=MTPPOConfig.from_cfg_train(cfg_train),
-                        seed=cfg.get("seed", 0), log_dir=logdir)
+        if algo == "mtsac":
+            from massive_marl_tpu.algos.mtrl.mtsac import MTSAC, MTSACConfig
+            trainer = MTSAC(envs, num_envs=num_envs,
+                            cfg=MTSACConfig.from_cfg_train(cfg_train, "sac"),
+                            seed=cfg.get("seed", 0), log_dir=logdir)
+        elif algo == "mttrpo":
+            from massive_marl_tpu.algos.mtrl.mttrpo import MTTRPO, MTTRPOConfig
+            trainer = MTTRPO(envs, num_envs=num_envs, cfg=MTTRPOConfig.from_cfg_train(cfg_train),
+                             seed=cfg.get("seed", 0), log_dir=logdir)
+        else:
+            trainer = MTPPO(envs, num_envs=num_envs, cfg=MTPPOConfig.from_cfg_train(cfg_train),
+                            seed=cfg.get("seed", 0), log_dir=logdir)
         trainer.run(args.max_iterations or None)
         return trainer
 

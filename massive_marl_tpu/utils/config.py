@@ -20,7 +20,7 @@ CFG_ROOT = os.path.join(REPO_ROOT, "cfg")
 
 SARL_ALGOS = ["ppo", "trpo", "ddpg", "td3", "sac"]
 MARL_ALGOS = ["mappo", "happo", "hatrpo", "ippo", "maddpg", "mat"]
-MTRL_ALGOS = ["mtppo", "random"]
+MTRL_ALGOS = ["mtppo", "mtsac", "mttrpo", "random"]
 METARL_ALGOS = ["mamlppo"]
 OFFRL_ALGOS = ["td3_bc", "bcq", "iql", "ppo_collect"]
 ALL_ALGOS = SARL_ALGOS + MARL_ALGOS + MTRL_ALGOS + METARL_ALGOS + OFFRL_ALGOS

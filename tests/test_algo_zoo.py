@@ -84,3 +84,24 @@ def test_mat_iteration():
     l0 = jax.tree_util.tree_leaves(ts.params)[1]
     l1 = jax.tree_util.tree_leaves(ts2.params)[1]
     assert not np.allclose(np.array(l0), np.array(l1))
+
+
+def test_mtsac_iteration():
+    from massive_marl_tpu.algos.mtrl.mtsac import MTSAC, MTSACConfig
+    envs = {"a": ToyEnv(), "b": ToyEnv()}
+    cfg = MTSACConfig(algo="sac", nsteps=4, replay_size=64, batch_size=4,
+                      hidden_nodes=16, hidden_layer=2, noptepochs=1, nminibatches=1)
+    t = MTSAC(envs, num_envs=4, cfg=cfg, seed=0, print_log=False)
+    t.state = t.init_state()
+    t.run(3)
+    assert int(t.state.iteration) == 3
+
+
+def test_mttrpo_iteration():
+    from massive_marl_tpu.algos.mtrl.mttrpo import MTTRPO, MTTRPOConfig
+    envs = {"a": ToyEnv(), "b": ToyEnv()}
+    cfg = MTTRPOConfig(nsteps=4, hidden=(16, 16), cg_nsteps=4, vf_epochs=2)
+    t = MTTRPO(envs, num_envs=4, cfg=cfg, seed=0, print_log=False)
+    t.state = t.init_state()
+    t.run(2)
+    assert int(t.state.iteration) == 2
