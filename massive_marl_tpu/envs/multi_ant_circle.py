@@ -103,10 +103,14 @@ class MultiAntCircleEnv:
         stepped = scene_step(self.spec, state.pipeline, actions)
         key, sub = jax.random.split(state.key)
         fresh = self._fresh_pipeline(sub)
-        pipeline = select_tree(state.done, fresh, stepped)
+        # failure containment: blown-up env -> forced reset (see ten_ant.py)
+        blown = ~(jnp.isfinite(stepped.ant_qpos).all()
+                  & jnp.isfinite(stepped.ant_qvel).all())
+        reset_now = state.done | blown
+        pipeline = select_tree(reset_now, fresh, stepped)
         carry_prev = select_tree(
-            state.done, CircleCarry(pos_before=self._signed_xy(fresh)), state.carry)
-        progress = jnp.where(state.done, 0, state.progress + 1)
+            reset_now, CircleCarry(pos_before=self._signed_xy(fresh)), state.carry)
+        progress = jnp.where(reset_now, 0, state.progress + 1)
 
         obs = self._obs(pipeline, actions)
         reward, done = self._reward(obs, actions, pipeline, carry_prev, progress)

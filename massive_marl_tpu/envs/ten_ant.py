@@ -139,9 +139,14 @@ class TenAntEnv:
         stepped = scene_step(self.spec, state.pipeline, applied)
         key, sub = jax.random.split(key)
         fresh = self._fresh_pipeline(sub)
-        pipeline = select_tree(state.done, fresh, stepped)
-        carry_prev = select_tree(state.done, self._carry_of(fresh), state.carry)
-        progress = jnp.where(state.done, 0, state.progress + 1)
+        # failure containment: a blown-up env (f32 overflow under adversarial
+        # torques) is treated as done and replaced by a fresh episode so NaNs
+        # never reach the learner (SURVEY.md section 5 failure detection)
+        blown = ~(jnp.isfinite(stepped.ant_qpos).all() & jnp.isfinite(stepped.ant_qvel).all() & jnp.isfinite(stepped.box_qpos).all() & jnp.isfinite(stepped.box_qvel).all())
+        reset_now = state.done | blown
+        pipeline = select_tree(reset_now, fresh, stepped)
+        carry_prev = select_tree(reset_now, self._carry_of(fresh), state.carry)
+        progress = jnp.where(reset_now, 0, state.progress + 1)
 
         obs = self._obs_noise(kn_o, self._obs(pipeline, actions))
         reward, done = self._reward(obs, actions, pipeline, carry_prev, progress)

@@ -267,14 +267,19 @@ def joint_limit_torque(sys: System, qpos: jnp.ndarray, qvel: jnp.ndarray,
 
 
 def integrate(sys: System, qpos: jnp.ndarray, qvel: jnp.ndarray, qacc: jnp.ndarray,
-              dt, max_ang_vel: float = 64.0):
-    """Semi-implicit Euler.  max_ang_vel mirrors the PhysX default clamp."""
+              dt, max_ang_vel: float = 64.0, max_lin_vel: float = 200.0,
+              max_dof_vel: float = 64.0):
+    """Semi-implicit Euler.  Velocity clamps mirror the PhysX defaults
+    (max angular velocity 64, joint velocity limits) and keep adversarial
+    policies from driving the penalty contacts into f32 overflow."""
     qvel = qvel + dt * qacc
+    lin = jnp.clip(qvel[0:3], -max_lin_vel, max_lin_vel)
     omega = jnp.clip(qvel[3:6], -max_ang_vel, max_ang_vel)
-    qvel = qvel.at[3:6].set(omega)
-    pos = qpos[0:3] + dt * qvel[0:3]
+    hinge_rate = jnp.clip(qvel[6:], -max_dof_vel, max_dof_vel)
+    qvel = jnp.concatenate([lin, omega, hinge_rate])
+    pos = qpos[0:3] + dt * lin
     quat = quat_integrate(qpos[3:7], omega, dt)
-    hinge = qpos[7:] + dt * qvel[6:]
+    hinge = qpos[7:] + dt * hinge_rate
     return jnp.concatenate([pos, quat, hinge]), qvel
 
 
