@@ -39,7 +39,7 @@ class AntSceneSpec(NamedTuple):
     box_half_extents: Optional[Tuple[float, float, float]]
     num_ants: int
     dt: float = 0.0166          # control dt (cfg/TenAnt.yaml:63)
-    substeps: int = 6
+    substeps: int = 3
     power_scale: float = 1.0
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
     contact: engine.ContactParams = engine.ContactParams()
@@ -59,17 +59,23 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
     tau_act = actions * sys.gear * spec.power_scale  # [A, nj]
     has_box = spec.box_sys is not None
 
+    if has_box:
+        box_inv_static = (1.0 / spec.box_sys.mass[0],
+                          engine._inv3x3_sym(spec.box_sys.inertia[0]))
+
     def ant_substep(qpos, qvel, box_qpos, box_qvel):
         fk = engine.fwd_kinematics(sys, qpos, qvel)
         p_w, v_w, body = engine.points_world(sys, fk)
+        pi = engine.point_inertia(sys, fk, p_w)
         mu_plane = sys.point_friction * spec.plane_friction
-        f_pts = engine.contact_plane(p_w, v_w, sys.point_radius, mu_plane, cp)
+        f_pts = engine.contact_plane(p_w, v_w, sys.point_radius, mu_plane, cp,
+                                     pi=pi, h=h)
         box_wrench = jnp.zeros(6)
         if has_box:
             f_box, box_wrench = engine.contact_box(
                 p_w, v_w, sys.point_radius, sys.point_friction * 0.0,  # frictionless box
                 box_qpos[0:3], box_qpos[3:7], box_qvel,
-                spec.box_half_extents, cp)
+                spec.box_half_extents, cp, pi=pi, h=h, box_inv=box_inv_static)
             f_pts = f_pts + f_box
         f_ext = engine.accumulate_body_forces(sys, p_w, f_pts, fk.base)
         sens = engine.sensor_forces(sys, f_pts, fk)
@@ -93,8 +99,10 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
             bsys = spec.box_sys
             fk_b = engine.fwd_kinematics(bsys, bq, bv)
             p_b, v_b, body_b = engine.points_world(bsys, fk_b)
+            pi_b = engine.point_inertia(bsys, fk_b, p_b)
             f_b = engine.contact_plane(p_b, v_b, bsys.point_radius,
-                                       bsys.point_friction * spec.plane_friction, cp)
+                                       bsys.point_friction * spec.plane_friction, cp,
+                                       pi=pi_b, h=h)
             f_ext_b = engine.accumulate_body_forces(bsys, p_b, f_b, fk_b.base)
             # ant contact wrenches were taken about the box origin == fk_b.base
             f_ext_b = [f_ext_b[0] + jnp.sum(box_wrench, axis=0)]

@@ -66,7 +66,7 @@ class MultiAntCircleEnv:
         self.spec = AntSceneSpec(
             ant_sys=model.system, box_sys=None, box_half_extents=None,
             num_ants=2, dt=sim_cfg.get("dt", 0.0166),
-            substeps=sim_cfg.get("substeps", 6),
+            substeps=sim_cfg.get("substeps", 3),
             power_scale=self.power_scale)
         self.init_hinge = jnp.asarray(model.init_hinge)
         self.targets = jnp.zeros(3)

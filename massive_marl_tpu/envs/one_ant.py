@@ -57,7 +57,7 @@ class OneAntEnv:
 
         sim_cfg = cfg.get("sim", {})
         dt = sim_cfg.get("dt", 0.0166)
-        substeps = sim_cfg.get("substeps", 6)
+        substeps = sim_cfg.get("substeps", 3)
 
         # domain randomization (base_task.py:216-410; spec TenAnt.yaml:84-121)
         from massive_marl_tpu.phys import dr as _dr

@@ -187,7 +187,9 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
             plane_friction: float = 1.0,
             limit_k: float = 80.0, limit_damp: float = 2.0,
             max_ang_vel: float = 64.0, max_lin_vel: float = 200.0,
-            max_dof_vel: float = 64.0):
+            max_dof_vel: float = 64.0,
+            beta: float | None = None, max_depen_vel: float = 1.0,
+            box_inv: tuple | None = None):
     """One physics substep in scalar form.
 
     qpos: 7+nj arrays, qvel: 6+nj arrays, tau_act: nj arrays (actuation only).
@@ -244,6 +246,24 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
         bv = (box_qvel[0], box_qvel[1], box_qvel[2])
         bw = (box_qvel[3], box_qvel[4], box_qvel[5])
 
+    # per-body world inverse inertia for the impulse clamp (host-constant
+    # body-frame inverse; engine.point_inertia is the array-form twin)
+    clamp = beta is not None
+    if clamp:
+        I_inv_b = [np.linalg.inv(np.array(c.inertia[b])).tolist() for b in range(nb)]
+        I_inv_w = []
+        for b in range(nb):
+            RI = tuple(tuple(sum(R[b][i][k] * I_inv_b[b][k][j] for k in range(3))
+                             for j in range(3)) for i in range(3))
+            I_inv_w.append(tuple(tuple(sum(RI[i][k] * R[b][j][k] for k in range(3))
+                                       for j in range(3)) for i in range(3)))
+        if box_he is not None and box_inv is not None:
+            bim, bIinvb = box_inv
+            bRI = tuple(tuple(sum(bR[i][k] * bIinvb[k][j] for k in range(3))
+                              for j in range(3)) for i in range(3))
+            bIinvw = tuple(tuple(sum(bRI[i][k] * bR[j][k] for k in range(3))
+                                 for j in range(3)) for i in range(3))
+
     for p_i in range(len(c.point_body)):
         b = c.point_body[p_i]
         radius = c.point_radius[p_i]
@@ -252,11 +272,22 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
         v_w = v3_add((vb[3], vb[4], vb[5]),
                      v3_cross((vb[0], vb[1], vb[2]), v3_sub(p_w, base)))
 
+        w_fn = None
+        if clamp:
+            r_pt = v3_sub(p_w, com_w[b])
+            inv_m = 1.0 / c.mass[b]
+
+            def w_fn(d, _r=r_pt, _I=I_inv_w[b], _im=inv_m):
+                rxd = v3_cross(_r, d)
+                return _im + v3_dot(rxd, m33_mv(_I, rxd))
+
         # plane z=0
         depth = radius - p_w[2]
         mu = c.point_friction[p_i] * plane_friction
         f_pt = _contact_force(depth, (zero, zero, one), v_w, mu,
-                              stiffness, damping_c, friction_vel)
+                              stiffness, damping_c, friction_vel,
+                              w_fn=w_fn, h=h if clamp else None,
+                              beta=beta if clamp else 0.2, mdv=max_depen_vel)
 
         if box_he is not None:
             rel = v3_sub(p_w, bp)
@@ -285,9 +316,21 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
             cpnt = v3_add(bp, m33_mv(bR, surf))
             v_box_pt = v3_add(bv, v3_cross(bw, v3_sub(cpnt, bp)))
             v_rel = v3_sub(v_w, v_box_pt)
+            w_fn_box = None
+            if clamp:
+                if box_inv is not None:
+                    r_box = v3_sub(cpnt, bp)
+
+                    def w_fn_box(d, _wf=w_fn, _r=r_box):
+                        rxd = v3_cross(_r, d)
+                        return _wf(d) + bim + v3_dot(rxd, m33_mv(bIinvw, rxd))
+                else:
+                    w_fn_box = w_fn
             # frictionless box (ten_ant.py:548-552)
             f_bx = _contact_force(depth_b, n_w, v_rel, 0.0,
-                                  stiffness, damping_c, friction_vel)
+                                  stiffness, damping_c, friction_vel,
+                                  w_fn=w_fn_box, h=h if clamp else None,
+                                  beta=beta if clamp else 0.2, mdv=max_depen_vel)
             f_pt = v3_add(f_pt, f_bx)
             tq = v3_cross(v3_sub(cpnt, bp), f_bx)
             box_wrench = s6_add(box_wrench,
@@ -445,12 +488,28 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
     return nqp, nqv, box_wrench, sensor_out
 
 
-def _contact_force(depth, normal, v_rel, friction, kn, kd, fv):
+def _contact_force(depth, normal, v_rel, friction, kn, kd, fv,
+                   w_fn=None, h=None, beta=0.2, mdv=1.0):
+    """Mirror of engine._contact_force incl. the impulse clamp.
+
+    w_fn(d3) -> effective inverse mass along direction d (point body + other
+    body); when given together with h, the normal force is clamped so it
+    cannot push the contact past the Baumgarte bias, and friction can at most
+    stop the tangential motion within one substep."""
     active = (depth > 0.0).astype(depth.dtype)
     vn = v3_dot(v_rel, normal)
     vt = v3_sub(v_rel, v3_scale(normal, vn))
     fn = jnp.maximum(kn * depth - kd * vn, 0.0) * active
     vt_norm = jnp.sqrt(v3_dot(vt, vt) + 1e-12)
     ft_mag = jnp.minimum(friction * fn, friction * fn * vt_norm / fv)
+    if w_fn is not None and h is not None:
+        w_n = w_fn(normal)
+        inv_vt = 1.0 / vt_norm
+        t_dir = v3_scale(vt, inv_vt)
+        w_t = w_fn(t_dir)
+        bias = jnp.minimum(beta * jnp.maximum(depth, 0.0) / h, mdv)
+        fn_max = jnp.maximum(bias - vn, 0.0) / (w_n * h)
+        fn = jnp.minimum(fn, fn_max)
+        ft_mag = jnp.minimum(ft_mag, jnp.minimum(friction * fn, vt_norm / (w_t * h)))
     f = v3_sub(v3_scale(normal, fn), v3_scale(vt, ft_mag / vt_norm))
     return f

@@ -289,14 +289,69 @@ def integrate(sys: System, qpos: jnp.ndarray, qvel: jnp.ndarray, qacc: jnp.ndarr
 
 
 class ContactParams(NamedTuple):
-    """Penalty-contact constants (Brax-spring-style; stand-in for the PhysX TGS
-    solver configured at /root/reference/cfg/TenAnt.yaml:67-76).
+    """Contact constants (stand-in for the PhysX TGS solver configured at
+    /root/reference/cfg/TenAnt.yaml:67-76).
 
-    Defaults are tuned for ~2-3 ms substeps with the ant's light feet
-    (explicit damping needs kd*h/m < 2; see tests/test_phys_core.py)."""
+    The base model is a penalty spring-damper, but when the caller supplies
+    the substep `h` and per-point inertia (`PointInertia`), every force is
+    additionally **impulse-clamped** by the contact's effective mass: the
+    normal force may not drive the relative normal velocity past the
+    Baumgarte bias `beta*depth/h` (capped at `max_depen_vel`, PhysX's
+    maxDepenetrationVelocity), and friction may at most stop the tangential
+    motion within one substep.  That removes the explicit-integration
+    stability bound h < 2*m_eff/damping entirely (the ant's foot capsules
+    weigh ~0.05 kg, which made the raw spring-damper launch ants at 4-6
+    substeps), so the substep count is a pure accuracy knob."""
     stiffness: float = 2500.0
     damping: float = 25.0
     friction_vel: float = 0.3    # tangential velocity scale for friction ramp
+    beta: float = 0.2            # Baumgarte positional-correction factor
+    max_depen_vel: float = 1.0   # cap on the push-out bias velocity [m/s]
+
+
+class PointInertia(NamedTuple):
+    """Per-contact-point effective-mass info of the point's own body."""
+    inv_mass: jnp.ndarray      # [P]
+    inv_inertia_w: jnp.ndarray  # [P,3,3] world-frame inverse body inertia
+    r: jnp.ndarray             # [P,3] lever arm from the body com (world)
+
+
+def _inv3x3_sym(I: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of a symmetric positive-definite 3x3."""
+    a, b, c = I[0, 0], I[0, 1], I[0, 2]
+    d, e = I[1, 1], I[1, 2]
+    f = I[2, 2]
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    det = a * A + b * B + c * C
+    D = a * f - c * c
+    E = b * c - a * e
+    F = a * d - b * b
+    return jnp.array([[A, B, C], [B, D, E], [C, E, F]]) / det
+
+
+def point_inertia(sys: System, fk: FK, p_w: jnp.ndarray) -> PointInertia:
+    """Effective-mass info for every contact sample point, using only the
+    point's own body (a conservative underestimate of the articulated
+    operational-space inertia - the clamp errs soft, never unstable)."""
+    inv_m, inv_I, r = [], [], []
+    for b, s, e in _point_ranges(sys):
+        k = e - s
+        I_inv_b = _inv3x3_sym(sys.inertia[b])
+        I_inv_w = mm(mm(fk.R[b], I_inv_b), jnp.swapaxes(fk.R[b], -1, -2))
+        inv_m.append(jnp.broadcast_to(1.0 / sys.mass[b], (k,)))
+        inv_I.append(jnp.broadcast_to(I_inv_w, (k, 3, 3)))
+        r.append(p_w[s:e] - fk.com_w[b])
+    return PointInertia(inv_mass=jnp.concatenate(inv_m),
+                        inv_inertia_w=jnp.concatenate(inv_I),
+                        r=jnp.concatenate(r))
+
+
+def inv_mass_along(pi: PointInertia, d: jnp.ndarray) -> jnp.ndarray:
+    """w = 1/m + (r x d)^T I^-1 (r x d) per point; d: [P,3] unit directions."""
+    rxd = jnp.cross(pi.r, d)
+    return pi.inv_mass + jnp.sum(rxd * jnp.sum(pi.inv_inertia_w * rxd[..., None, :], axis=-1), axis=-1)
 
 
 def _point_ranges(sys: System):
@@ -331,8 +386,14 @@ def points_world(sys: System, fk: FK):
     return jnp.concatenate(ps), jnp.concatenate(vs), body
 
 
-def _contact_force(depth, normal, v_rel, friction, cp: ContactParams):
-    """Force on body A for one contact candidate (zero when not touching)."""
+def _contact_force(depth, normal, v_rel, friction, cp: ContactParams,
+                   pi: PointInertia | None = None, h=None, w_extra_fn=None):
+    """Force on body A for one contact candidate (zero when not touching).
+
+    With (pi, h) given, the spring-damper force is impulse-clamped by the
+    contact's effective mass (see ContactParams docstring).  w_extra_fn(d)
+    optionally adds the other body's inverse mass along direction d (two-body
+    contacts, e.g. ant foot vs push-box)."""
     active = depth > 0.0
     vn = jnp.sum(v_rel * normal, axis=-1)
     vt = v_rel - vn[..., None] * normal
@@ -340,20 +401,33 @@ def _contact_force(depth, normal, v_rel, friction, cp: ContactParams):
     fn = jnp.clip(fn, 0.0, None) * active
     vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-12)
     ft_mag = jnp.minimum(friction * fn, friction * fn * vt_norm / cp.friction_vel)
+    if pi is not None and h is not None:
+        w_n = inv_mass_along(pi, normal)
+        t_dir = vt / vt_norm[..., None]
+        w_t = inv_mass_along(pi, t_dir)
+        if w_extra_fn is not None:
+            w_n = w_n + w_extra_fn(normal)
+            w_t = w_t + w_extra_fn(t_dir)
+        bias = jnp.minimum(cp.beta * jnp.maximum(depth, 0.0) / h, cp.max_depen_vel)
+        fn_max = jnp.maximum(bias - vn, 0.0) / (w_n * h)
+        fn = jnp.minimum(fn, fn_max)
+        ft_mag = jnp.minimum(ft_mag, jnp.minimum(friction * fn, vt_norm / (w_t * h)))
     ft = -ft_mag[..., None] * vt / vt_norm[..., None]
     return fn[..., None] * normal + ft
 
 
-def contact_plane(p_w, v_w, radius, friction, cp: ContactParams):
+def contact_plane(p_w, v_w, radius, friction, cp: ContactParams,
+                  pi: PointInertia | None = None, h=None):
     """Points vs ground plane z=0 (reference `_create_ground_plane`,
     ten_ant.py:233-238).  Returns [P,3] world forces on the points' bodies."""
     depth = radius - p_w[..., 2]
     normal = jnp.zeros_like(p_w).at[..., 2].set(1.0)
-    return _contact_force(depth, normal, v_w, friction, cp)
+    return _contact_force(depth, normal, v_w, friction, cp, pi=pi, h=h)
 
 
 def contact_box(p_w, v_w, radius, friction, box_pos, box_quat, box_vel,
-                half_extents, cp: ContactParams):
+                half_extents, cp: ContactParams,
+                pi: PointInertia | None = None, h=None, box_inv=None):
     """Sphere points vs an oriented box (the push-box actor,
     ten_ant.py:490-496).  Returns (force on point bodies [P,3],
     spatial wrench on the box about the box origin [6]).
@@ -384,7 +458,18 @@ def contact_box(p_w, v_w, radius, friction, box_pos, box_quat, box_vel,
     cpnt = box_pos + jnp.sum(R * surf_local[..., None, :], axis=-1)
     v_box_pt = box_vel[0:3] + jnp.cross(box_vel[3:6], cpnt - box_pos)
     v_rel = v_w - v_box_pt
-    f = _contact_force(depth, normal, v_rel, friction, cp)
+    w_extra_fn = None
+    if box_inv is not None:
+        box_inv_m, box_I_inv_body = box_inv
+        box_I_inv_w = mm(mm(R, box_I_inv_body), jnp.swapaxes(R, -1, -2))
+        r_box = cpnt - box_pos
+
+        def w_extra_fn(d):
+            rxd = jnp.cross(r_box, d)
+            return box_inv_m + jnp.sum(rxd * jnp.sum(box_I_inv_w * rxd[..., None, :], axis=-1), axis=-1)
+
+    f = _contact_force(depth, normal, v_rel, friction, cp, pi=pi, h=h,
+                       w_extra_fn=w_extra_fn)
     f_box_sp = -point_force_spatial(cpnt, f, box_pos)    # [P,6]
     return f, jnp.sum(f_box_sp, axis=0)
 

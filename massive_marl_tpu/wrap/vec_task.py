@@ -33,6 +33,14 @@ class VecTaskPython:
         self._step_fn = jax.jit(jax.vmap(env.step))
         self._state = None
 
+    def _ensure_state(self):
+        """In the reference the sim buffers exist from construction
+        (base_task.py:56-68), so step() before reset() is legal - mirror that."""
+        if self._state is None:
+            keys = jax.random.split(self._key, self.num_envs + 1)
+            self._key = keys[0]
+            self._state = self._reset_fn(keys[1:])
+
     def reset(self):
         keys = jax.random.split(self._key, self.num_envs + 1)
         self._key = keys[0]
@@ -40,12 +48,14 @@ class VecTaskPython:
         return jnp.clip(self._state.obs, -self.clip_obs, self.clip_obs)
 
     def step(self, actions):
+        self._ensure_state()
         actions = jnp.clip(jnp.asarray(actions), -self.clip_actions, self.clip_actions)
         self._state = self._step_fn(self._state, actions)
         obs = jnp.clip(self._state.obs, -self.clip_obs, self.clip_obs)
         return obs, self._state.reward, self._state.done, {}
 
     def get_state(self):
+        self._ensure_state()
         return jnp.clip(self._state.obs, -self.clip_obs, self.clip_obs)
 
     @property
@@ -106,6 +116,10 @@ class MultiVecTaskPython:
 
     def step(self, actions):
         """actions: [E, N, act] or list of N [E, act] arrays."""
+        if self._state is None:
+            keys = jax.random.split(self._key, self.num_envs + 1)
+            self._key = keys[0]
+            self._state = self._reset_fn(keys[1:])
         if isinstance(actions, (list, tuple)):
             actions = jnp.stack(list(actions), axis=1)
         actions = jnp.clip(jnp.asarray(actions), -self.clip_actions, self.clip_actions)

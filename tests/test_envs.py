@@ -127,6 +127,25 @@ def test_multi_agent_split():
     np.testing.assert_allclose(np.array(per[1, 0, 38:]), np.arange(388 + 380, 388 + 388))
 
 
+def test_wrappers_step_before_reset():
+    """step() before reset() must work: in the reference the sim buffers
+    exist from construction (base_task.py:56-68), so trainers/users may step
+    immediately (e.g. ppo.py evaluation loops)."""
+    import massive_marl_tpu
+    env = massive_marl_tpu.make("TenAnt", "mappo", num_envs=2)
+    obs, share, rew, done, infos, _ = env.step(
+        [np.zeros((2, 8), np.float32) for _ in range(10)])
+    assert np.asarray(obs).shape == (2, 10, 46)
+    assert np.asarray(share).shape == (2, 10, 388)
+    assert np.asarray(rew).shape == (2, 10, 1)
+    assert np.isfinite(np.asarray(obs)).all()
+
+    env2 = massive_marl_tpu.make("OneAnt", "ppo", num_envs=2)
+    o, r, d, _ = env2.step(np.zeros((2, 8), np.float32))
+    assert np.asarray(o).shape == (2, 60)
+    assert np.isfinite(np.asarray(r)).all()
+
+
 def test_domain_randomization():
     import yaml, os
     from massive_marl_tpu.utils.config import CFG_ROOT

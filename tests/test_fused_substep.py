@@ -1,5 +1,12 @@
 """Scalar-form substep (ops/scalar_phys.py) must agree with the reference
-XLA engine bit-for-bit-ish (f32 reassociation tolerance)."""
+XLA engine bit-for-bit-ish (f32 reassociation tolerance).
+
+Opt-in via RUN_SCALAR_PHYS_TESTS=1: the fully-unrolled scalar graph (the
+shape a Pallas kernel wants) takes XLA:CPU an extremely long time to compile
+cold (>40 min on 8-vCPU hosts); the persistent cache makes reruns fast, but a
+default `pytest tests/` must not eat that."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +14,10 @@ import pytest
 
 from massive_marl_tpu.phys import engine, mjcf
 from massive_marl_tpu.ops import scalar_phys as sp
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("RUN_SCALAR_PHYS_TESTS"),
+    reason="scalar-phys agreement tests are opt-in (XLA:CPU cold-compile cost)")
 
 GRAV = (0.0, 0.0, -9.81)
 CP = engine.ContactParams()
@@ -17,13 +28,27 @@ def ant_model():
     return mjcf.parse_mjcf(mjcf.asset_path("ant.xml"))
 
 
+def _box_inv(he):
+    """(1/m, I^-1 body-frame) of the push-box (density 1, as in the tasks)."""
+    m = 8.0 * he[0] * he[1] * he[2]
+    I = np.diag([m / 3.0 * (he[1] ** 2 + he[2] ** 2),
+                 m / 3.0 * (he[0] ** 2 + he[2] ** 2),
+                 m / 3.0 * (he[0] ** 2 + he[1] ** 2)]).astype(np.float32)
+    return m, I
+
+
 def engine_substep(sys, qpos, qvel, tau, box_qpos, box_qvel, he, h):
     fk = engine.fwd_kinematics(sys, qpos, qvel)
     p_w, v_w, _ = engine.points_world(sys, fk)
-    f_pts = engine.contact_plane(p_w, v_w, sys.point_radius, sys.point_friction, CP)
+    pi = engine.point_inertia(sys, fk, p_w)
+    f_pts = engine.contact_plane(p_w, v_w, sys.point_radius, sys.point_friction,
+                                 CP, pi=pi, h=h)
+    bm, bI = _box_inv(he)
     f_box, wrench = engine.contact_box(p_w, v_w, sys.point_radius,
                                        sys.point_friction * 0.0,
-                                       box_qpos[0:3], box_qpos[3:7], box_qvel, he, CP)
+                                       box_qpos[0:3], box_qpos[3:7], box_qvel, he,
+                                       CP, pi=pi, h=h,
+                                       box_inv=(1.0 / bm, engine._inv3x3_sym(jnp.asarray(bI))))
     f_pts = f_pts + f_box
     f_ext = engine.accumulate_body_forces(sys, p_w, f_pts, fk.base)
     tau_t = tau + engine.joint_limit_torque(sys, qpos, qvel) - sys.damping * qvel[6:]
@@ -38,9 +63,12 @@ def scalar_substep(consts, qpos, qvel, tau, box_qpos, box_qvel, he, h):
     ta = [tau[i] for i in range(tau.shape[0])]
     bq = [box_qpos[i] for i in range(7)]
     bv = [box_qvel[i] for i in range(6)]
+    bm, bI = _box_inv(he)
     nqp, nqv, wrench, sensors = sp.substep(
         consts, qp, qv, ta, bq, bv, he, GRAV, h,
-        CP.stiffness, CP.damping, CP.friction_vel)
+        CP.stiffness, CP.damping, CP.friction_vel,
+        beta=CP.beta, max_depen_vel=CP.max_depen_vel,
+        box_inv=(1.0 / bm, np.linalg.inv(bI).tolist()))
     return jnp.stack(nqp), jnp.stack(nqv), jnp.stack(wrench)
 
 
@@ -86,7 +114,9 @@ def test_scalar_matches_engine_no_box(ant_model):
     def eng(a, b, t):
         fk = engine.fwd_kinematics(sys, a, b)
         p_w, v_w, _ = engine.points_world(sys, fk)
-        f_pts = engine.contact_plane(p_w, v_w, sys.point_radius, sys.point_friction, CP)
+        pi = engine.point_inertia(sys, fk, p_w)
+        f_pts = engine.contact_plane(p_w, v_w, sys.point_radius, sys.point_friction,
+                                     CP, pi=pi, h=h)
         f_ext = engine.accumulate_body_forces(sys, p_w, f_pts, fk.base)
         tt = t + engine.joint_limit_torque(sys, a, b) - sys.damping * b[6:]
         qacc = engine.forward_dynamics(sys, fk, b, tt, f_ext, jnp.asarray(GRAV))
@@ -96,7 +126,8 @@ def test_scalar_matches_engine_no_box(ant_model):
         nqp, nqv, _, _ = sp.substep(
             consts, [a[i] for i in range(a.shape[0])],
             [b[i] for i in range(b.shape[0])], [t[i] for i in range(8)],
-            None, None, None, GRAV, h, CP.stiffness, CP.damping, CP.friction_vel)
+            None, None, None, GRAV, h, CP.stiffness, CP.damping, CP.friction_vel,
+            beta=CP.beta, max_depen_vel=CP.max_depen_vel)
         return jnp.stack(nqp), jnp.stack(nqv)
 
     qp_e, qv_e = jax.jit(jax.vmap(eng))(qpos, qvel, tau)
