@@ -30,7 +30,10 @@ def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     cfg = PPOConfig()  # reference defaults: nsteps 8, 5 epochs x 4 minibatches
-    env = TenAntEnv()
+    # fused Pallas physics substep (5.2x over the array engine on v5e;
+    # scripts/validate_fused_tpu.py) - BENCH_FUSED=0 falls back
+    fused = os.environ.get("BENCH_FUSED", "1") != "0"
+    env = TenAntEnv({"sim": {"fused_kernel": fused}})
     ppo = PPO(env, num_envs=num_envs, cfg=cfg, seed=0, print_log=False)
     ts = ppo.init_state()
 

@@ -144,6 +144,8 @@ class PPO:
         E = self.num_envs
         n_mb = cfg.nminibatches
         mb_size = (T * E) // n_mb
+        from massive_marl_tpu.envs.base import batched_step
+        env_step = batched_step(env)
 
         def policy_apply(params, obs):
             return model.apply(params, obs)
@@ -156,7 +158,7 @@ class PPO:
             actions = nets.gaussian_sample(k_act, mean, log_std)
             logp = nets.gaussian_log_prob(mean, log_std, actions)
             actions_clipped = jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions)
-            next_state = jax.vmap(env.step)(env_state, actions_clipped)
+            next_state = env_step(env_state, actions_clipped)
             data = dict(obs=obs, actions=actions, logp=logp, value=value,
                         mean=mean, reward=next_state.reward,
                         done=next_state.done.astype(jnp.float32))

@@ -34,6 +34,15 @@ class EnvState:
     reward: jnp.ndarray    # f32 (shared scalar for multi-agent tasks)
 
 
+def batched_step(env):
+    """The env's batched step fn: `env.step_batch` when the env provides one
+    (e.g. the fused-Pallas TenAnt path), else vmap over the per-env step.
+    Envs whose step_batch merely wraps vmap(self.step) trace to the identical
+    graph, so this is a no-op for the default path."""
+    fn = getattr(env, "step_batch", None)
+    return fn if fn is not None else jax.vmap(env.step)
+
+
 def select_tree(pred, a, b):
     """where(pred, a, b) over a pytree of equal-shaped leaves."""
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)

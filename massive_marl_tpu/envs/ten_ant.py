@@ -66,6 +66,11 @@ class TenAntEnv:
         sim_cfg = cfg.get("sim", {})
         dt = sim_cfg.get("dt", 0.0166)
         substeps = sim_cfg.get("substeps", 3)
+        # fused Pallas physics substep (ops/fused_substep.py); batched step
+        # only, incompatible with per-env DR (constants are baked in)
+        self.use_fused = bool(sim_cfg.get("fused_kernel", False))
+        if self.use_fused and cfg.get("task", {}).get("randomize", False):
+            self.use_fused = False  # DR resamples the System per env/reset
 
         # domain randomization (base_task.py:216-410; spec TenAnt.yaml:84-121)
         from massive_marl_tpu.phys import dr as _dr
@@ -137,6 +142,30 @@ class TenAntEnv:
         key, kn_a, kn_o = jax.random.split(state.key, 3)
         applied = self._act_noise(kn_a, actions)  # DR action noise
         stepped = scene_step(self.spec, state.pipeline, applied)
+        return self._finish_step(stepped, actions, key, kn_o, state)
+
+    def step_batch(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
+        """Batched step: state has a leading env axis, actions [E, 80].
+
+        Default path is exactly jax.vmap(self.step); with cfg
+        `sim.fused_kernel: true` the physics substeps run as one Pallas
+        kernel over the flattened E*10 articulation batch
+        (ops/fused_substep.py) while obs/reward/reset stay vmapped."""
+        if not self.use_fused:
+            return jax.vmap(self.step)(state, actions)
+        from massive_marl_tpu.ops.fused_substep import fused_scene_step
+        E = actions.shape[0]
+        actions = actions.reshape(E, 10, 8)
+        triple = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)
+        key, kn_a, kn_o = triple[:, 0], triple[:, 1], triple[:, 2]
+        applied = jax.vmap(self._act_noise)(kn_a, actions)
+        stepped = fused_scene_step(self.spec, state.pipeline, applied)
+        return jax.vmap(self._finish_step)(stepped, actions, key, kn_o, state)
+
+    def _finish_step(self, stepped: AntSceneState, actions: jnp.ndarray,
+                     key: jnp.ndarray, kn_o: jnp.ndarray, state: EnvState) -> EnvState:
+        """Everything after the physics: blowup containment, auto-reset
+        overwrite, obs, reward (base_task.py:129-149 step order)."""
         key, sub = jax.random.split(key)
         fresh = self._fresh_pipeline(sub)
         # failure containment: a blown-up env (f32 overflow under adversarial

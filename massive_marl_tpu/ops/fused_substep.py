@@ -1,0 +1,237 @@
+"""Pallas TPU kernel: the whole ant-articulation physics substep fused.
+
+The array engine (phys/engine.py) expresses one substep as ~40 XLA ops over
+small minor-dim-3 tensors; XLA fuses them well but still materialises
+intermediates between fusions and pads the (.., 3) layouts.  This module
+instead runs the *scalar-form* substep (ops/scalar_phys.py - every physical
+scalar its own batch vector, every model constant baked in) as ONE
+`pallas_call`: HBM traffic is exactly state-in/state-out and every op is a
+full (8,128) VPU tile.
+
+Layout: the flat articulation batch B = E * num_ants is laid out as
+[field, R, 128] with R = ceil(B/128) padded up to the row-block size, so a
+kernel instance sees [RBLK, 128] tiles per scalar field.  The box (one free
+body per env, coupled to all of the env's ants through contact wrenches) is
+integrated between kernel launches in plain XLA - it is nb=1 and costs
+nothing, and this keeps the kernel a pure per-articulation map.
+
+Equivalence with the array engine is tested in tests/test_pallas_substep.py
+(interpret mode on CPU) on top of the scalar<->array agreement suite
+(tests/test_fused_substep.py).
+
+Reference anchors: the substep semantics mirror IsaacGym's
+`gym.simulate(sim)` inner loop as used by the tasks
+(/root/reference/agents/tasks/agent_base/base_task.py:129-149); scene wiring
+(frictionless box, ant collision filters) follows
+/root/reference/agents/tasks/ten_ant.py:498-552.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from massive_marl_tpu.ops import scalar_phys as sp
+from massive_marl_tpu.phys import engine
+
+NQ = 15   # 7 base + 8 hinges
+NV = 14   # 6 base + 8 hinges
+NU = 8    # actuated hinges
+
+_LANES = 128
+
+
+# ---------------------------------------------------------------------------
+# packing: [B, n] <-> [n, R, 128]
+# ---------------------------------------------------------------------------
+
+def _rows(B: int, rblk: int) -> int:
+    r = (B + _LANES - 1) // _LANES
+    return ((r + rblk - 1) // rblk) * rblk
+
+
+def pack_fields(x: jnp.ndarray, rows: int, pad_value_per_field=None) -> jnp.ndarray:
+    """[B, n] -> [n, rows, 128] (zero- or template-padded)."""
+    B, n = x.shape
+    xt = x.T  # [n, B]
+    pad = rows * _LANES - B
+    if pad:
+        if pad_value_per_field is None:
+            fill = jnp.zeros((n, pad), x.dtype)
+        else:
+            fill = jnp.broadcast_to(jnp.asarray(pad_value_per_field, x.dtype)[:, None],
+                                    (n, pad))
+        xt = jnp.concatenate([xt, fill], axis=1)
+    return xt.reshape(n, rows, _LANES)
+
+
+def unpack_fields(x3: jnp.ndarray, B: int) -> jnp.ndarray:
+    """[n, rows, 128] -> [B, n]."""
+    n = x3.shape[0]
+    return x3.reshape(n, -1)[:, :B].T
+
+
+# a parked articulation far above the scene: no contacts, free fall for one
+# substep, never read back.  quat w=1 keeps quat math well-defined.
+_PAD_QPOS = np.zeros(NQ, np.float32)
+_PAD_QPOS[2] = 1000.0
+_PAD_QPOS[6] = 1.0
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
+                    cp: engine.ContactParams, plane_friction: float,
+                    aq_ref, av_ref, tau_ref, bq_ref, bv_ref,
+                    naq_ref, nav_ref, wr_ref):
+    qpos = [aq_ref[i] for i in range(NQ)]
+    qvel = [av_ref[i] for i in range(NV)]
+    tau = [tau_ref[i] for i in range(NU)]
+    if box_he is not None:
+        bq = [bq_ref[i] for i in range(7)]
+        bv = [bv_ref[i] for i in range(6)]
+    else:
+        bq = bv = None
+    nqp, nqv, wrench, _sens = sp.substep(
+        c, qpos, qvel, tau, bq, bv, box_he, gravity, h,
+        cp.stiffness, cp.damping, cp.friction_vel,
+        plane_friction=plane_friction,
+        beta=cp.beta, max_depen_vel=cp.max_depen_vel,
+        box_inv=box_inv)
+    for i in range(NQ):
+        naq_ref[i] = nqp[i]
+    for i in range(NV):
+        nav_ref[i] = nqv[i]
+    if box_he is not None:
+        for i in range(6):
+            wr_ref[i] = wrench[i]
+
+
+def build_substep(c: sp.AntConsts, box_he: Optional[Tuple[float, float, float]],
+                  box_inv, gravity: Tuple[float, float, float], h: float,
+                  cp: engine.ContactParams, plane_friction: float,
+                  rows: int, rblk: int = 8, interpret: bool = False):
+    """Returns f(aq3, av3, tau3, bq3, bv3) -> (naq3, nav3, wrench3).
+
+    All operands are [n_fields, rows, 128] f32; wrench3 is [6, rows, 128]
+    (zeros-shaped placeholder when there is no box)."""
+    assert rows % rblk == 0, (rows, rblk)
+    grid = (rows // rblk,)
+    f32 = jnp.float32
+
+    def bs(n):
+        return pl.BlockSpec((n, rblk, _LANES), lambda i: (0, i, 0))
+
+    kernel = functools.partial(_substep_kernel, c, box_he, box_inv,
+                               gravity, h, cp, plane_friction)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[bs(NQ), bs(NV), bs(NU), bs(7), bs(6)],
+        out_specs=[bs(NQ), bs(NV), bs(6)],
+        out_shape=[jax.ShapeDtypeStruct((NQ, rows, _LANES), f32),
+                   jax.ShapeDtypeStruct((NV, rows, _LANES), f32),
+                   jax.ShapeDtypeStruct((6, rows, _LANES), f32)],
+        interpret=interpret,
+    )
+    return call
+
+
+# ---------------------------------------------------------------------------
+# batched scene step (fused counterpart of envs/ant_scene.scene_step)
+# ---------------------------------------------------------------------------
+
+def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 8,
+                     interpret: bool | None = None):
+    """Advance one control step for a BATCH of envs.
+
+    spec: AntSceneSpec (dr_spec must be None - constants are baked into the
+    kernel).  state: AntSceneState with a leading env axis on every field
+    (ant_qpos [E,A,nq], box_qpos [E,7], ...).  actions: [E, A, nu] in [-1,1].
+    Semantically identical to jax.vmap(scene_step) (tests/test_pallas_substep.py);
+    sensors are not computed (zeros) - TenAnt does not observe them
+    (/root/reference/agents/tasks/ten_ant.py:1343-1346).
+    """
+    assert spec.dr_spec is None, "fused kernel bakes model constants; DR needs the array engine"
+    from massive_marl_tpu.envs.ant_scene import AntSceneState
+
+    if interpret is None:
+        # Mosaic only lowers on TPU; everywhere else (CPU tests, the virtual
+        # 8-device mesh) fall back to the pallas interpreter
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    sys = spec.ant_sys
+    E, A = actions.shape[0], spec.num_ants
+    B = E * A
+    rows = _rows(B, rblk)
+    h = spec.dt / spec.substeps
+    cp = spec.contact
+    gravity = tuple(float(g) for g in spec.gravity)
+    has_box = spec.box_sys is not None
+
+    consts = sp.bake_consts(sys)
+    if has_box:
+        bm = float(np.asarray(spec.box_sys.mass)[0])
+        bI = np.asarray(spec.box_sys.inertia, np.float64)[0]
+        box_inv = (1.0 / bm, np.linalg.inv(bI).tolist())
+        box_inv_static = (1.0 / spec.box_sys.mass[0],
+                         engine._inv3x3_sym(spec.box_sys.inertia[0]))
+        box_he = tuple(float(x) for x in spec.box_half_extents)
+    else:
+        box_inv = None
+        box_he = None
+
+    step_k = build_substep(consts, box_he, box_inv, gravity, h, cp,
+                           float(spec.plane_friction), rows, rblk, interpret)
+
+    tau_act = (actions * sys.gear * spec.power_scale).astype(jnp.float32)
+
+    aq3 = pack_fields(state.ant_qpos.reshape(B, consts.nj + 7), rows, _PAD_QPOS)
+    av3 = pack_fields(state.ant_qvel.reshape(B, consts.nj + 6), rows)
+    tau3 = pack_fields(tau_act.reshape(B, consts.nj), rows)
+
+    bq = state.box_qpos  # [E,7]
+    bv = state.box_qvel  # [E,6]
+
+    def pack_box(x, n):
+        rep = jnp.broadcast_to(x[:, None, :], (E, A, n)).reshape(B, n)
+        return pack_fields(rep, rows)
+
+    def box_substep(bq1, bv1, wrench_sum):
+        """One free-body substep for the push-box (nb=1), with the summed ant
+        contact wrench about the box origin folded in - the XLA twin of the
+        box branch in envs/ant_scene.scene_step."""
+        bsys = spec.box_sys
+        fk_b = engine.fwd_kinematics(bsys, bq1, bv1)
+        p_b, v_b, _ = engine.points_world(bsys, fk_b)
+        pi_b = engine.point_inertia(bsys, fk_b, p_b)
+        f_b = engine.contact_plane(p_b, v_b, bsys.point_radius,
+                                   bsys.point_friction * spec.plane_friction, cp,
+                                   pi=pi_b, h=h)
+        f_ext_b = engine.accumulate_body_forces(bsys, p_b, f_b, fk_b.base)
+        f_ext_b = [f_ext_b[0] + wrench_sum]
+        bacc = engine.forward_dynamics(bsys, fk_b, bv1, jnp.zeros(0), f_ext_b,
+                                       jnp.asarray(spec.gravity))
+        return engine.integrate(bsys, bq1, bv1, bacc, h)
+
+    for _ in range(spec.substeps):
+        bq3 = pack_box(bq, 7) if has_box else jnp.zeros((7, rows, _LANES), jnp.float32)
+        bv3 = pack_box(bv, 6) if has_box else jnp.zeros((6, rows, _LANES), jnp.float32)
+        aq3, av3, wr3 = step_k(aq3, av3, tau3, bq3, bv3)
+        if has_box:
+            wrench = unpack_fields(wr3, B).reshape(E, A, 6).sum(axis=1)  # [E,6]
+            bq, bv = jax.vmap(box_substep)(bq, bv, wrench)
+
+    nq, nv = consts.nj + 7, consts.nj + 6
+    return AntSceneState(
+        ant_qpos=unpack_fields(aq3, B).reshape(E, A, nq),
+        ant_qvel=unpack_fields(av3, B).reshape(E, A, nv),
+        box_qpos=bq, box_qvel=bv,
+        sensors=jnp.zeros_like(state.sensors),
+        sys=state.sys)

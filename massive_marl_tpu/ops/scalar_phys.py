@@ -157,7 +157,11 @@ class AntConsts(NamedTuple):
 def bake_consts(sys) -> AntConsts:
     """System (jnp arrays) -> python-float constants for kernel baking."""
     from massive_marl_tpu.phys.engine import dof_chains
+    # np.asarray BEFORE any slicing: the System's concrete arrays may be
+    # referenced inside a jit trace (fused_scene_step), where jnp slicing
+    # would produce tracers that cannot be baked
     f = lambda x: np.asarray(x).tolist()
+    jnt_range = np.asarray(sys.jnt_range)
 
     def t3(x):
         return tuple(tuple(row) for row in f(x))
@@ -167,7 +171,7 @@ def bake_consts(sys) -> AntConsts:
         nb=sys.nb, nj=sys.nj, parent=tuple(sys.parent),
         body_pos=t3(sys.body_pos), body_quat=t3(sys.body_quat),
         jnt_axis=t3(sys.jnt_axis), jnt_pos=t3(sys.jnt_pos),
-        jnt_lo=tuple(f(sys.jnt_range[:, 0])), jnt_hi=tuple(f(sys.jnt_range[:, 1])),
+        jnt_lo=tuple(jnt_range[:, 0].tolist()), jnt_hi=tuple(jnt_range[:, 1].tolist()),
         armature=tuple(f(sys.armature)), damping=tuple(f(sys.damping)),
         gear=tuple(f(sys.gear)),
         mass=tuple(f(sys.mass)), com=t3(sys.com),
@@ -370,13 +374,13 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
         I_sp.append((A, B, m))
 
     def I_mv(Iblk, s):
+        """I_O = [[A, B], [-B, m*1]] with A = Iw - m cx cx, B = m cx (skew):
+        linear momentum = -B w + m p (phys/spatial.py spatial_inertia)."""
         A, B, m = Iblk
         w, p = (s[0], s[1], s[2]), (s[3], s[4], s[5])
         top = v3_add(m33_mv(A, w), m33_mv(B, p))
-        bot = v3_add((-(B[0][0] * w[0] + B[1][0] * w[1] + B[2][0] * w[2]),
-                      -(B[0][1] * w[0] + B[1][1] * w[1] + B[2][1] * w[2]),
-                      -(B[0][2] * w[0] + B[1][2] * w[1] + B[2][2] * w[2])),
-                     v3_scale(p, m))
+        Bw = m33_mv(B, w)
+        bot = v3_add((-Bw[0], -Bw[1], -Bw[2]), v3_scale(p, m))
         return (*top, *bot)
 
     def I_add(a, b):
