@@ -23,6 +23,7 @@ import optax
 from flax import linen as nn
 from flax import struct
 
+from massive_marl_tpu.envs.base import batched_step
 from massive_marl_tpu.wrap.vec_task import split_multi_agent_obs
 
 
@@ -236,7 +237,7 @@ class MaddpgRunner:
             a = self._act_all(ap, obs)
             a = jnp.clip(a + c.act_noise * jax.random.normal(k_act, a.shape),
                          -c.clip_actions, c.clip_actions)
-            ns = jax.vmap(env.step)(env_state, a.reshape(E, -1))
+            ns = batched_step(env)(env_state, a.reshape(E, -1))
             nobs_buf = jnp.clip(ns.obs, -c.clip_obs, c.clip_obs)
             nobs, nshare = self._views(nobs_buf)
             replay = replay.replace(
@@ -326,7 +327,7 @@ class MaddpgRunner:
             obs_buf = jnp.clip(st.obs, -c.clip_obs, c.clip_obs)
             obs, _ = self._views(obs_buf)
             a = self._act_all(self.state.actor_params, obs)
-            st = jax.vmap(self.env.step)(st, a.reshape(self.num_envs, -1))
+            st = batched_step(self.env)(st, a.reshape(self.num_envs, -1))
             return st, st.reward
 
         _, rewards = jax.jit(lambda s: jax.lax.scan(step, s, None, length=n_steps))(

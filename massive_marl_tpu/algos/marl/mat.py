@@ -26,6 +26,7 @@ import optax
 from flax import linen as nn
 from flax import struct
 
+from massive_marl_tpu.envs.base import batched_step
 from massive_marl_tpu.algos.marl import nets as marl_nets
 from massive_marl_tpu.wrap.vec_task import split_multi_agent_obs
 
@@ -234,7 +235,7 @@ class MatRunner:
             mean, std = self.model.apply(params, rep, prev, method=MatModel.decode)
             logp = self._joint_logp(mean, std, actions)
             a_clip = jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions)
-            ns = jax.vmap(env.step)(env_state, a_clip.reshape(E, -1))
+            ns = batched_step(env)(env_state, a_clip.reshape(E, -1))
             data = dict(obs=obs, actions=actions, logp=logp,
                         value=values.mean(-1),  # team value = mean over agents
                         reward=ns.reward, done=ns.done.astype(jnp.float32))
@@ -372,7 +373,7 @@ class MatRunner:
 
             actions, _ = jax.lax.scan(body, jnp.zeros((E, self.N, self.act_dim)),
                                       jnp.arange(self.N))
-            st = jax.vmap(self.env.step)(st, jnp.clip(actions, -1, 1).reshape(E, -1))
+            st = batched_step(self.env)(st, jnp.clip(actions, -1, 1).reshape(E, -1))
             return (st, key), st.reward
 
         (_, _), rewards = jax.jit(lambda s, k: jax.lax.scan(step, (s, k), None,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from massive_marl_tpu.envs.base import batched_step
 from massive_marl_tpu.algos.marl import nets
 from massive_marl_tpu.algos.marl.runner import MarlConfig, MarlRunner
 
@@ -103,7 +104,7 @@ class RecurrentMarlRunner(MarlRunner):
             actions = mean + std * jax.random.normal(k, mean.shape)
             logp = nets.normal_log_prob(mean, std, actions)
             values, ch2 = value_all(cp, cin, ch, mask)
-            ns = jax.vmap(env.step)(env_state,
+            ns = batched_step(env)(env_state,
                                     jnp.clip(actions, -cfg.clip_actions,
                                              cfg.clip_actions).reshape(E, -1))
             data = dict(obs=obs, share=obs_buf, actions=actions, logp=logp,
@@ -268,7 +269,7 @@ class RecurrentMarlRunner(MarlRunner):
             mean, _, ah = jax.vmap(lambda p, o, h, m: self.actor.apply(p, o, h, m),
                                    in_axes=(0, 1, 1, None), out_axes=1)(
                 self.state.actor_params, obs, ah, mask)
-            st = jax.vmap(self.env.step)(st, jnp.clip(mean, -1, 1).reshape(self.num_envs, -1))
+            st = batched_step(self.env)(st, jnp.clip(mean, -1, 1).reshape(self.num_envs, -1))
             return (st, ah), st.reward
 
         (_, _), rewards = jax.jit(lambda s, h: jax.lax.scan(step, (s, h), None,

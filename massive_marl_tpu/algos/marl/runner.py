@@ -29,6 +29,7 @@ import numpy as np
 import optax
 from flax import struct
 
+from massive_marl_tpu.envs.base import batched_step
 from massive_marl_tpu.algos.marl import nets
 from massive_marl_tpu.wrap.vec_task import split_multi_agent_obs
 
@@ -201,7 +202,7 @@ class MarlRunner:
             logp = nets.normal_log_prob(mean, std, actions)           # [E,N]
             values = value_all(cp, cin)                               # [E,N]
             a_clip = jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions)
-            next_state = jax.vmap(env.step)(env_state, a_clip.reshape(E, -1))
+            next_state = batched_step(env)(env_state, a_clip.reshape(E, -1))
             # store the global obs_buf ONCE per step; per-agent critic views
             # are rebuilt at update time (saves N x share_dim HBM)
             data = dict(obs=obs, share=obs_buf, actions=actions, logp=logp,
@@ -508,7 +509,7 @@ class MarlRunner:
             mean, std = jax.vmap(lambda p, o: self.actor.apply(p, o),
                                  in_axes=(0, 1), out_axes=1)(self.state.actor_params, obs)
             a = jnp.clip(mean, -cfg.clip_actions, cfg.clip_actions)
-            env_state = jax.vmap(self.env.step)(env_state, a.reshape(self.num_envs, -1))
+            env_state = batched_step(self.env)(env_state, a.reshape(self.num_envs, -1))
             return env_state, env_state.reward
 
         _, rewards = jax.jit(lambda s: jax.lax.scan(step, s, None, length=n_steps))(

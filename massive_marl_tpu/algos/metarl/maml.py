@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from massive_marl_tpu.envs.base import batched_step
 from massive_marl_tpu.algos import nets
 
 
@@ -130,7 +131,7 @@ class MAMLPPO:
                 mean, value, log_std = self.model.apply(params, obs)
                 a = nets.gaussian_sample(k, mean, log_std)
                 logp = nets.gaussian_log_prob(mean, log_std, a)
-                ns = jax.vmap(env.step)(st, jnp.clip(a, -c.clip_actions, c.clip_actions))
+                ns = batched_step(env)(st, jnp.clip(a, -c.clip_actions, c.clip_actions))
                 return (ns, key), dict(obs=obs, actions=a, logp=logp, value=value,
                                        reward=ns.reward, done=ns.done.astype(jnp.float32))
             (env_state, key), traj = jax.lax.scan(step, (env_state, key), None,

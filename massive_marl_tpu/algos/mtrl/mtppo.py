@@ -23,6 +23,7 @@ import numpy as np
 import optax
 from flax import struct
 
+from massive_marl_tpu.envs.base import batched_step
 from massive_marl_tpu.algos import nets
 from massive_marl_tpu.algos.rl.ppo import PPOConfig
 
@@ -109,7 +110,7 @@ class MTPPO:
             actions = nets.gaussian_sample(k, mean, log_std)
             logp = nets.gaussian_log_prob(mean, log_std, actions)
             a_env = jnp.clip(actions[:, :act_dim], -cfg.clip_actions, cfg.clip_actions)
-            ns = jax.vmap(env.step)(env_state, a_env)
+            ns = batched_step(env)(env_state, a_env)
             return (ns, key, params), dict(obs=obs, actions=actions, logp=logp,
                                            value=value, reward=ns.reward,
                                            done=ns.done.astype(jnp.float32))
@@ -248,7 +249,7 @@ class RandomPolicyRunner:
                 def step(carry, k):
                     st = carry
                     a = jax.random.uniform(k, (self.num_envs, act_dim), minval=-1, maxval=1)
-                    st = jax.vmap(env.step)(st, a)
+                    st = batched_step(env)(st, a)
                     return st, st.reward
                 keys = jax.random.split(key, iterations * steps_per_iter)
                 return jax.lax.scan(step, state, keys)

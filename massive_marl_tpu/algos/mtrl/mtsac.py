@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from massive_marl_tpu.envs.base import batched_step
 from massive_marl_tpu.algos.rl.offpolicy import (
     OffPolicyConfig,
     QFunction,
@@ -116,7 +117,7 @@ class MTSAC:
                 obs = self._aug(jnp.clip(st.obs, -c.clip_obs, c.clip_obs), idx)
                 mu, log_std = self.pi.apply(params["pi"], obs)
                 a, _ = squashed_sample(k, mu, log_std)
-                ns = jax.vmap(env.step)(st, jnp.clip(a[:, :act_dim], -1, 1))
+                ns = batched_step(env)(st, jnp.clip(a[:, :act_dim], -1, 1))
                 nobs = self._aug(jnp.clip(ns.obs, -c.clip_obs, c.clip_obs), idx)
                 rep = dict(rep,
                            obs=rep["obs"].at[rep["ptr"]].set(obs),

@@ -52,7 +52,12 @@ class MLP(nn.Module):
 
 
 class ActorCritic(nn.Module):
-    """Shared-input actor + critic with state-independent log-std."""
+    """Shared-input actor + critic with state-independent log-std.
+
+    `actor`/`critic` are exposed as separate apply methods so the rollout can
+    run actor-only per step and batch ALL critic evaluations into one large
+    forward after the rollout (same values, bigger matmuls, fewer launches).
+    Submodule names keep the nn.compact param tree (MLP_0/MLP_1/log_std)."""
     act_dim: int
     hidden_actor: Sequence[int] = (1024, 1024, 512)
     hidden_critic: Sequence[int] = (1024, 1024, 512)
@@ -60,14 +65,27 @@ class ActorCritic(nn.Module):
     init_noise_std: float = 0.8  # cfg/ppo/config.yaml:31
     asymmetric: bool = False
 
-    @nn.compact
+    def setup(self):
+        self._actor = MLP(self.hidden_actor, self.act_dim, self.activation, 0.01,
+                          name="MLP_0")
+        self._critic = MLP(self.hidden_critic, 1, self.activation, 1.0,
+                           name="MLP_1")
+        self._log_std = self.param("log_std",
+                                   nn.initializers.constant(np.log(self.init_noise_std)),
+                                   (self.act_dim,))
+
     def __call__(self, obs, states=None):
-        mean = MLP(self.hidden_actor, self.act_dim, self.activation, 0.01)(obs)
+        mean = self._actor(obs)
         critic_in = states if (self.asymmetric and states is not None) else obs
-        value = MLP(self.hidden_critic, 1, self.activation, 1.0)(critic_in)
-        log_std = self.param("log_std", nn.initializers.constant(np.log(self.init_noise_std)),
-                             (self.act_dim,))
-        return mean, jnp.squeeze(value, -1), log_std
+        value = self._critic(critic_in)
+        return mean, jnp.squeeze(value, -1), self._log_std
+
+    def actor(self, obs):
+        return self._actor(obs), self._log_std
+
+    def critic(self, obs, states=None):
+        critic_in = states if (self.asymmetric and states is not None) else obs
+        return jnp.squeeze(self._critic(critic_in), -1)
 
 
 def dist_std(log_std):

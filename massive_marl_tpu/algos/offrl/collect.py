@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from massive_marl_tpu.envs.base import batched_step
 from massive_marl_tpu.algos.rl.ppo import PPO, PPOConfig
 from massive_marl_tpu.algos import nets
 from massive_marl_tpu.algos.offrl import datasets
@@ -45,7 +46,7 @@ class PPOCollect:
                 mean, _, log_std = model.apply(params, obs)
                 a = jnp.clip(nets.gaussian_sample(k, mean, log_std),
                              -cfg.clip_actions, cfg.clip_actions)
-                ns = jax.vmap(env.step)(st, a)
+                ns = batched_step(env)(st, a)
                 nobs = jnp.clip(ns.obs, -cfg.clip_obs, cfg.clip_obs)
                 return (ns, key), (obs, a, ns.reward, ns.done.astype(jnp.float32), nobs)
             (env_state, key), traj = jax.lax.scan(step, (env_state, key), None,

@@ -26,6 +26,8 @@ from dataclasses import dataclass
 from typing import Any, Sequence
 
 import jax
+
+from massive_marl_tpu.envs.base import batched_step
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -323,7 +325,7 @@ class OffPolicy:
             obs = jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs)
             actions = self._policy_act(params["pi"], obs, k_act, explore=True)
             a_clip = jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions)
-            next_env = jax.vmap(env.step)(env_state, a_clip)
+            next_env = batched_step(env)(env_state, a_clip)
             next_obs = jnp.clip(next_env.obs, -cfg.clip_obs, cfg.clip_obs)
             r = next_env.reward * cfg.reward_scale
             replay = replay.replace(

@@ -98,13 +98,16 @@ class PPO:
 
     def __init__(self, env, num_envs: int, cfg: PPOConfig | None = None,
                  seed: int = 0, log_dir: str | None = None, device=None,
-                 is_testing: bool = False, print_log: bool = True):
+                 is_testing: bool = False, print_log: bool = True, mesh=None):
         self.env = env
         self.num_envs = num_envs
         self.cfg = cfg or PPOConfig()
         self.seed = seed
         self.log_dir = log_dir
         self.print_log = print_log
+        # multi-device: env step runs under shard_map over mesh axis 'data'
+        # (required for the fused pallas path; see parallel/mesh.py)
+        self.mesh = mesh
 
         self.act_dim = env.num_actions * env.num_agents
         self.obs_dim = env.num_obs
@@ -146,6 +149,9 @@ class PPO:
         mb_size = (T * E) // n_mb
         from massive_marl_tpu.envs.base import batched_step
         env_step = batched_step(env)
+        if self.mesh is not None:
+            from massive_marl_tpu.parallel.mesh import shard_env_step
+            env_step = shard_env_step(env_step, self.mesh)
 
         def policy_apply(params, obs):
             return model.apply(params, obs)
@@ -200,16 +206,19 @@ class PPO:
 
         def minibatch_update(carry, batch):
             params, opt_state, lr = carry
-            # adaptive KL LR (ppo.py:277-283), computed on the OLD params
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, None)
+            # adaptive KL LR (ppo.py:277-283): the reference evaluates the KL
+            # on the pre-step params, the same params the loss forward just
+            # ran - reuse that forward's (mean, log_std) instead of paying a
+            # second policy forward per minibatch
             if cfg.schedule == "adaptive":
-                mean_new, _, log_std_new = policy_apply(params, batch["obs"])
+                mean_new, log_std_new = aux[2], aux[3]
                 old_log_std = jnp.broadcast_to(batch["log_std"], mean_new.shape)
                 kl = nets.gaussian_kl(batch["mean"], old_log_std, mean_new,
                                       jnp.broadcast_to(log_std_new, mean_new.shape)).mean()
                 lr = jnp.where(kl > cfg.desired_kl * 2.0, jnp.maximum(1e-5, lr / 1.5), lr)
                 lr = jnp.where((kl < cfg.desired_kl / 2.0) & (kl > 0.0),
                                jnp.minimum(1e-2, lr * 1.5), lr)
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, None)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
             return (params, opt_state, lr), (aux[0], aux[1])

@@ -24,6 +24,7 @@ import optax
 from flax import struct
 from jax.flatten_util import ravel_pytree
 
+from massive_marl_tpu.envs.base import batched_step
 from massive_marl_tpu.algos import nets
 
 
@@ -146,7 +147,7 @@ class TRPO:
             actions = nets.gaussian_sample(k_act, mean, log_std)
             logp = nets.gaussian_log_prob(mean, log_std, actions)
             value = critic.apply(cp, obs)
-            ns = jax.vmap(env.step)(env_state, jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions))
+            ns = batched_step(env)(env_state, jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions))
             return (ns, key, ap, cp), dict(obs=obs, actions=actions, logp=logp,
                                            value=value, mean=mean,
                                            reward=ns.reward,

@@ -58,6 +58,11 @@ class OneAntEnv:
         sim_cfg = cfg.get("sim", {})
         dt = sim_cfg.get("dt", 0.0166)
         substeps = sim_cfg.get("substeps", 3)
+        # fused Pallas physics (ops/fused_substep.py): "auto" = on for TPU
+        fused = sim_cfg.get("fused_kernel", "auto")
+        if fused == "auto":
+            fused = jax.default_backend() in ("tpu", "axon")
+        self.use_fused = bool(fused) and not cfg.get("task", {}).get("randomize", False)
 
         # domain randomization (base_task.py:216-410; spec TenAnt.yaml:84-121)
         from massive_marl_tpu.phys import dr as _dr
@@ -117,6 +122,22 @@ class OneAntEnv:
         key, kn_a, kn_o = jax.random.split(state.key, 3)
         applied = self._act_noise(kn_a, actions)  # DR action noise (base_task.py:262-300)
         stepped = scene_step(self.spec, state.pipeline, applied[None, :])
+        return self._finish_step(stepped, actions, key, kn_o, state)
+
+    def step_batch(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
+        """Batched step (leading env axis); fused Pallas physics when enabled."""
+        if not self.use_fused:
+            return jax.vmap(self.step)(state, actions)
+        from massive_marl_tpu.ops.fused_substep import fused_scene_step
+        E = actions.shape[0]
+        triple = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)
+        key, kn_a, kn_o = triple[:, 0], triple[:, 1], triple[:, 2]
+        applied = jax.vmap(self._act_noise)(kn_a, actions)
+        stepped = fused_scene_step(self.spec, state.pipeline, applied[:, None, :])
+        return jax.vmap(self._finish_step)(stepped, actions, key, kn_o, state)
+
+    def _finish_step(self, stepped: AntSceneState, actions: jnp.ndarray,
+                     key: jnp.ndarray, kn_o: jnp.ndarray, state: EnvState) -> EnvState:
         # 2. auto-reset envs flagged done last step
         key, sub = jax.random.split(key)
         fresh = self._fresh_pipeline(sub)

@@ -67,8 +67,13 @@ class TenAntEnv:
         dt = sim_cfg.get("dt", 0.0166)
         substeps = sim_cfg.get("substeps", 3)
         # fused Pallas physics substep (ops/fused_substep.py); batched step
-        # only, incompatible with per-env DR (constants are baked in)
-        self.use_fused = bool(sim_cfg.get("fused_kernel", False))
+        # only, incompatible with per-env DR (constants are baked in).
+        # "auto" (default): on when running on TPU hardware, off elsewhere
+        # (the pallas interpreter on CPU is only for the agreement tests)
+        fused = sim_cfg.get("fused_kernel", "auto")
+        if fused == "auto":
+            fused = jax.default_backend() in ("tpu", "axon")
+        self.use_fused = bool(fused)
         if self.use_fused and cfg.get("task", {}).get("randomize", False):
             self.use_fused = False  # DR resamples the System per env/reset
 

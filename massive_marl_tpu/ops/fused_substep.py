@@ -89,7 +89,7 @@ _PAD_QPOS[6] = 1.0
 def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
                     cp: engine.ContactParams, plane_friction: float,
                     aq_ref, av_ref, tau_ref, bq_ref, bv_ref,
-                    naq_ref, nav_ref, wr_ref):
+                    naq_ref, nav_ref, wr_ref, sens_ref):
     qpos = [aq_ref[i] for i in range(NQ)]
     qvel = [av_ref[i] for i in range(NV)]
     tau = [tau_ref[i] for i in range(NU)]
@@ -98,7 +98,7 @@ def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
         bv = [bv_ref[i] for i in range(6)]
     else:
         bq = bv = None
-    nqp, nqv, wrench, _sens = sp.substep(
+    nqp, nqv, wrench, sens = sp.substep(
         c, qpos, qvel, tau, bq, bv, box_he, gravity, h,
         cp.stiffness, cp.damping, cp.friction_vel,
         plane_friction=plane_friction,
@@ -111,19 +111,26 @@ def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
     if box_he is not None:
         for i in range(6):
             wr_ref[i] = wrench[i]
+    # foot-sensor local-frame contact forces, 3 per sensor (engine reports
+    # the torque half as zero - phys/engine.py sensor_forces)
+    for s in range(c.num_sensors):
+        for k in range(3):
+            sens_ref[3 * s + k] = sens[s][k]
 
 
 def build_substep(c: sp.AntConsts, box_he: Optional[Tuple[float, float, float]],
                   box_inv, gravity: Tuple[float, float, float], h: float,
                   cp: engine.ContactParams, plane_friction: float,
                   rows: int, rblk: int = 8, interpret: bool = False):
-    """Returns f(aq3, av3, tau3, bq3, bv3) -> (naq3, nav3, wrench3).
+    """Returns f(aq3, av3, tau3, bq3, bv3) -> (naq3, nav3, wrench3, sens3).
 
     All operands are [n_fields, rows, 128] f32; wrench3 is [6, rows, 128]
-    (zeros-shaped placeholder when there is no box)."""
+    (zeros-shaped placeholder when there is no box); sens3 is
+    [3*num_sensors, rows, 128] local-frame foot contact forces."""
     assert rows % rblk == 0, (rows, rblk)
     grid = (rows // rblk,)
     f32 = jnp.float32
+    ns3 = max(3 * c.num_sensors, 1)
 
     def bs(n):
         return pl.BlockSpec((n, rblk, _LANES), lambda i: (0, i, 0))
@@ -134,10 +141,11 @@ def build_substep(c: sp.AntConsts, box_he: Optional[Tuple[float, float, float]],
         kernel,
         grid=grid,
         in_specs=[bs(NQ), bs(NV), bs(NU), bs(7), bs(6)],
-        out_specs=[bs(NQ), bs(NV), bs(6)],
+        out_specs=[bs(NQ), bs(NV), bs(6), bs(ns3)],
         out_shape=[jax.ShapeDtypeStruct((NQ, rows, _LANES), f32),
                    jax.ShapeDtypeStruct((NV, rows, _LANES), f32),
-                   jax.ShapeDtypeStruct((6, rows, _LANES), f32)],
+                   jax.ShapeDtypeStruct((6, rows, _LANES), f32),
+                   jax.ShapeDtypeStruct((ns3, rows, _LANES), f32)],
         interpret=interpret,
     )
     return call
@@ -223,15 +231,24 @@ def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 8,
     for _ in range(spec.substeps):
         bq3 = pack_box(bq, 7) if has_box else jnp.zeros((7, rows, _LANES), jnp.float32)
         bv3 = pack_box(bv, 6) if has_box else jnp.zeros((6, rows, _LANES), jnp.float32)
-        aq3, av3, wr3 = step_k(aq3, av3, tau3, bq3, bv3)
+        aq3, av3, wr3, sens3 = step_k(aq3, av3, tau3, bq3, bv3)
         if has_box:
             wrench = unpack_fields(wr3, B).reshape(E, A, 6).sum(axis=1)  # [E,6]
             bq, bv = jax.vmap(box_substep)(bq, bv, wrench)
+
+    # sensors from the LAST substep only (scene_step keeps sens_hist[-1]);
+    # force in the first 3 slots, torque zero (engine.sensor_forces)
+    ns = consts.num_sensors
+    if ns:
+        sens_f = unpack_fields(sens3, B).reshape(E, A, ns, 3)
+        sensors = jnp.concatenate([sens_f, jnp.zeros_like(sens_f)], axis=-1)
+    else:
+        sensors = jnp.zeros_like(state.sensors)
 
     nq, nv = consts.nj + 7, consts.nj + 6
     return AntSceneState(
         ant_qpos=unpack_fields(aq3, B).reshape(E, A, nq),
         ant_qvel=unpack_fields(av3, B).reshape(E, A, nv),
         box_qpos=bq, box_qvel=bv,
-        sensors=jnp.zeros_like(state.sensors),
+        sensors=sensors,
         sys=state.sys)

@@ -71,3 +71,18 @@ def train_state_shardings(ts, mesh: Mesh):
 def apply_sharding(ts, mesh: Mesh):
     """Place an existing host-side TrainState onto the mesh."""
     return jax.device_put(ts, train_state_shardings(ts, mesh))
+
+
+def shard_env_step(step_fn, mesh: Mesh):
+    """Partition a batched env-step over the 'data' axis with shard_map.
+
+    Env stepping is embarrassingly parallel over envs (no cross-env
+    communication), but XLA's SPMD partitioner cannot split a pallas_call
+    (the fused physics kernel) on its own - shard_map runs the kernel
+    per-shard on each device's slice of the env batch, and the surrounding
+    jit keeps auto-partitioning the learner around it."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return shard_map(step_fn, mesh=mesh, in_specs=(P("data"), P("data")),
+                     out_specs=P("data"), check_rep=False)

@@ -45,7 +45,9 @@ def timeit(name, fn, *args, n=20, warmup=12):
 def main():
     E = int(os.environ.get("BENCH_NUM_ENVS", 4096))
     cfg = PPOConfig()
-    env = TenAntEnv()
+    fused = os.environ.get("BENCH_FUSED", "1") != "0"
+    env = TenAntEnv({"sim": {"fused_kernel": fused}})
+    print(f"fused_kernel={fused}", flush=True)
     ppo = PPO(env, num_envs=E, cfg=cfg, seed=0, print_log=False)
     ts = ppo.init_state()
     print(f"backend={jax.default_backend()} devices={jax.devices()} E={E}", flush=True)
@@ -57,7 +59,8 @@ def main():
     t_full = timeit("full train_iter", full, ts)
 
     # 2. env.step alone
-    step = jax.jit(jax.vmap(env.step))
+    from massive_marl_tpu.envs.base import batched_step
+    step = jax.jit(batched_step(env))
     acts = jnp.zeros((E, 80), jnp.float32)
     t_env = timeit("vmap(env.step)", step, ts.env_state, acts)
 

@@ -84,11 +84,14 @@ def test_psum_equivalence_sharded_vs_single_device(ppo):
         ts_out, metrics_sh = step(ts_sh)
         jax.block_until_ready(ts_out)
 
-    # parameters after the update
+    # parameters after the update.  Tolerance: the math is identical but the
+    # 8-way psum reassociates f32 sums, and Adam's 1/sqrt(v) normalization
+    # amplifies that noise on near-zero gradients - observed up to ~3e-5
+    # absolute on bias terms after 4 update steps.
     for (pa, a), (pb, b) in zip(_leaves_with_paths(ts_ref.params),
                                 _leaves_with_paths(ts_out.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5,
+                                   rtol=2e-4, atol=1e-4,
                                    err_msg=str(pa))
     # scalar metrics
     for k in metrics_ref:
