@@ -121,7 +121,7 @@ def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
 def build_substep(c: sp.AntConsts, box_he: Optional[Tuple[float, float, float]],
                   box_inv, gravity: Tuple[float, float, float], h: float,
                   cp: engine.ContactParams, plane_friction: float,
-                  rows: int, rblk: int = 8, interpret: bool = False):
+                  rows: int, rblk: int = 16, interpret: bool = False):
     """Returns f(aq3, av3, tau3, bq3, bv3) -> (naq3, nav3, wrench3, sens3).
 
     All operands are [n_fields, rows, 128] f32; wrench3 is [6, rows, 128]
@@ -155,16 +155,16 @@ def build_substep(c: sp.AntConsts, box_he: Optional[Tuple[float, float, float]],
 # batched scene step (fused counterpart of envs/ant_scene.scene_step)
 # ---------------------------------------------------------------------------
 
-def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 8,
+def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 16,
                      interpret: bool | None = None):
     """Advance one control step for a BATCH of envs.
 
     spec: AntSceneSpec (dr_spec must be None - constants are baked into the
     kernel).  state: AntSceneState with a leading env axis on every field
     (ant_qpos [E,A,nq], box_qpos [E,7], ...).  actions: [E, A, nu] in [-1,1].
-    Semantically identical to jax.vmap(scene_step) (tests/test_pallas_substep.py);
-    sensors are not computed (zeros) - TenAnt does not observe them
-    (/root/reference/agents/tasks/ten_ant.py:1343-1346).
+    Semantically identical to jax.vmap(scene_step) (tests/test_pallas_substep.py),
+    including last-substep foot-sensor forces (OneAnt observes them,
+    /root/reference/agents/tasks/one_ant.py:610-614).
     """
     assert spec.dr_spec is None, "fused kernel bakes model constants; DR needs the array engine"
     from massive_marl_tpu.envs.ant_scene import AntSceneState
