@@ -1,7 +1,12 @@
-"""ctypes bindings for the native IO library (mmtio.cc).
+"""ctypes bindings for the native runtime libraries.
 
-Builds lazily with g++ on first import; falls back to numpy when no
-toolchain is available.  API: write_npy / NpyMmap (zero-copy reads).
+  mmtio.cc    - mmap'd float32 .npy dataset IO (write / zero-copy read /
+                row gather) for the offline-RL data path
+  tbevents.cc - TensorBoard event-file writer (TFRecord framing + masked
+                CRC32C + hand-encoded Event protos) for the metrics path
+
+Each builds lazily with g++ on first use; every caller has a pure-Python
+fallback when no toolchain is available.
 """
 from __future__ import annotations
 
@@ -16,11 +21,14 @@ _SO = os.path.join(_HERE, "libmmtio.so")
 _lib = None
 
 
-def _build() -> bool:
+def _build_lib(src: str, so_path: str) -> bool:
+    """Compile one .cc into a shared lib if missing or stale."""
+    src_path = os.path.join(_HERE, src)
+    if os.path.exists(so_path) and os.path.getmtime(so_path) >= os.path.getmtime(src_path):
+        return True
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO,
-             os.path.join(_HERE, "mmtio.cc")],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", so_path, src_path],
             check=True, capture_output=True)
         return True
     except Exception:
@@ -31,10 +39,8 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-            os.path.join(_HERE, "mmtio.cc")):
-        if not _build():
-            return None
+    if not _build_lib("mmtio.cc", _SO):
+        return None
     lib = ctypes.CDLL(_SO)
     lib.mmtio_write_npy.restype = ctypes.c_int
     lib.mmtio_write_npy.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
@@ -109,6 +115,74 @@ class NpyMmap:
     def close(self):
         if self._h is not None:
             self._lib.mmtio_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+# --------------------------------------------------------------- tbevents
+_TB_SO = os.path.join(_HERE, "libtbevents.so")
+_tb_lib = None
+
+
+def get_tb_lib():
+    global _tb_lib
+    if _tb_lib is not None:
+        return _tb_lib
+    if not _build_lib("tbevents.cc", _TB_SO):
+        return None
+    lib = ctypes.CDLL(_TB_SO)
+    lib.tb_open.restype = ctypes.c_void_p
+    lib.tb_open.argtypes = [ctypes.c_char_p, ctypes.c_double]
+    lib.tb_scalar.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_float,
+                              ctypes.c_longlong, ctypes.c_double]
+    lib.tb_flush.argtypes = [ctypes.c_void_p]
+    lib.tb_close.argtypes = [ctypes.c_void_p]
+    _tb_lib = lib
+    return lib
+
+
+class TBEventWriter:
+    """Native tfevents scalar writer (tbevents.cc).
+
+    Drop-in for the SummaryWriter.add_scalar subset the framework uses;
+    files are readable by TensorBoard and utils/logger/tools.read_tfevents.
+    Raises RuntimeError when the native toolchain is unavailable - callers
+    (utils/logging.Writer) fall back to torch's SummaryWriter.
+    """
+
+    def __init__(self, log_dir: str):
+        import socket
+        import time
+        lib = get_tb_lib()
+        if lib is None:
+            raise RuntimeError("native tbevents lib unavailable")
+        os.makedirs(log_dir, exist_ok=True)
+        now = time.time()
+        host = socket.gethostname()
+        self.path = os.path.join(
+            log_dir, f"events.out.tfevents.{int(now)}.{host}.{os.getpid()}")
+        self._lib = lib
+        self._h = lib.tb_open(self.path.encode(), now)
+        if not self._h:
+            raise RuntimeError(f"tb_open failed for {self.path}")
+
+    def add_scalar(self, tag: str, value: float, step: int, wall_time: float | None = None):
+        import time
+        self._lib.tb_scalar(self._h, tag.encode(), float(value), int(step),
+                            time.time() if wall_time is None else wall_time)
+
+    def flush(self):
+        if self._h:
+            self._lib.tb_flush(self._h)
+
+    def close(self):
+        if self._h:
+            self._lib.tb_close(self._h)
             self._h = None
 
     def __del__(self):

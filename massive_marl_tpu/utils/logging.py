@@ -3,6 +3,10 @@
 Replaces the reference's per-trainer SummaryWriter usage (ppo.py:79,195-205;
 marl/runner.py:69,257-263).  Metrics are pulled host-side once per iteration -
 never inside jit - so logging cannot stall the device.
+
+The tfevents backend is the native C++ writer (native/tbevents.cc) - no
+torch import on the training path; torch's SummaryWriter is the fallback
+when the native toolchain is unavailable.
 """
 from __future__ import annotations
 
@@ -18,10 +22,14 @@ class Writer:
         self._tb = None
         if use_tensorboard:
             try:
-                from torch.utils.tensorboard import SummaryWriter
-                self._tb = SummaryWriter(log_dir=log_dir, flush_secs=30)
+                from massive_marl_tpu.native import TBEventWriter
+                self._tb = TBEventWriter(log_dir)
             except Exception:
-                self._tb = None
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                    self._tb = SummaryWriter(log_dir=log_dir, flush_secs=30)
+                except Exception:
+                    self._tb = None
         self._csv_path = os.path.join(log_dir, "metrics.csv")
         self._csv_file = open(self._csv_path, "a", newline="")
         self._csv = csv.writer(self._csv_file)

@@ -28,3 +28,33 @@ def test_native_reads_numpy_written(tmp_path):
     m = native.NpyMmap(p)
     np.testing.assert_allclose(m.as_array(), arr)
     m.close()
+
+
+def test_native_tbevents_readable_by_tensorboard(tmp_path):
+    """The C++ tfevents writer produces files the real TensorBoard reader
+    accepts (it validates the masked CRC32C of every record)."""
+    w = native.TBEventWriter(str(tmp_path))
+    for i in range(5):
+        w.add_scalar("train/mean_reward", 1.5 * i, i)
+    w.add_scalar("perf/fps", 123456.0, 4)
+    w.close()
+
+    from massive_marl_tpu.utils.logger.tools import read_tfevents
+    data = read_tfevents(w.path)
+    assert set(data) == {"train/mean_reward", "perf/fps"}
+    rew = data["train/mean_reward"]
+    assert [s for _, s, _ in rew] == list(range(5))
+    np.testing.assert_allclose([v for _, _, v in rew],
+                               [1.5 * i for i in range(5)], rtol=1e-6)
+    assert data["perf/fps"][0][1:] == (4, 123456.0)
+
+
+def test_writer_uses_native_backend(tmp_path):
+    from massive_marl_tpu.utils.logging import Writer
+    w = Writer(str(tmp_path))
+    assert type(w._tb).__name__ == "TBEventWriter"
+    w.add_scalar("a/b", 3.0, 7)
+    w.close()
+    from massive_marl_tpu.utils.logger.tools import convert_tfevents_to_csv
+    written = convert_tfevents_to_csv(str(tmp_path))
+    assert any(p.endswith("a_b.csv") for p in written)
