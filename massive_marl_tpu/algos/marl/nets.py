@@ -37,11 +37,15 @@ class MLPBase(nn.Module):
             x = nn.LayerNorm()(x)
         gain = np.sqrt(2)  # relu gain (mlp.py:14)
         for _ in range(1 + self.layer_n):
-            # matmuls in bf16 (MXU native); LayerNorm statistics in f32
+            # the activation stream stays bf16 end-to-end: matmuls hit the
+            # MXU natively and every [batch, hidden] HBM round-trip is half
+            # the f32 traffic (the learner phase is HBM-bound at MARL batch
+            # sizes).  LayerNorm still computes its statistics in f32 -
+            # flax upcasts internally - and params stay f32.
             x = nn.Dense(self.hidden_size, kernel_init=orthogonal_init(gain),
                          dtype=jnp.bfloat16)(x)
             x = nn.elu(x)
-            x = nn.LayerNorm()(x.astype(jnp.float32))
+            x = nn.LayerNorm(dtype=jnp.bfloat16)(x)
         return x
 
 
