@@ -8,6 +8,14 @@ agents/algorithms/rl/ppo/ppo.py:207: nsteps * num_envs / iteration_time.
 Baseline: the driver-set north star of 256,000 env-steps/s/chip
 (/root/repo/BASELINE.json); the reference itself publishes no numbers
 (BASELINE.md).
+
+Timing methodology (important on the axon remote-TPU runtime, where
+`jax.block_until_ready` returns without waiting): the measured loop is a
+device-side `lax.scan` of the full training iteration, and completion is
+forced by fetching a scalar that data-depends on the final train state.
+The one-off host round-trip (~43 ms on this tunnel) is measured separately
+and subtracted.  See scripts/profile_marl_update.py history: python-side
+loops without a host fetch can report arbitrarily wrong times here.
 """
 from __future__ import annotations
 
@@ -19,6 +27,7 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
+import jax.numpy as jnp
 
 from massive_marl_tpu.algos.rl.ppo import PPO, PPOConfig
 from massive_marl_tpu.envs.ten_ant import TenAntEnv
@@ -26,9 +35,19 @@ from massive_marl_tpu.envs.ten_ant import TenAntEnv
 BASELINE = 256_000.0  # env-steps/s/chip target (BASELINE.json north_star)
 
 
+def measure_rtt() -> float:
+    """Host<->device round-trip of a tiny fetch (subtracted from wall time)."""
+    x = jnp.zeros(())
+    float(x + 1.0)
+    t0 = time.perf_counter()
+    for i in range(10):
+        float(x + float(i))
+    return (time.perf_counter() - t0) / 10
+
+
 def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    iters = int(os.environ.get("BENCH_ITERS", 30))
     cfg = PPOConfig()  # reference defaults: nsteps 8, 5 epochs x 4 minibatches
     # fused Pallas physics substep (5.2x over the array engine on v5e;
     # scripts/validate_fused_tpu.py) - BENCH_FUSED=0 falls back
@@ -37,18 +56,30 @@ def main():
     ppo = PPO(env, num_envs=num_envs, cfg=cfg, seed=0, print_log=False)
     ts = ppo.init_state()
 
-    # compile + warmup: the axon runtime's first ~10 executions of a program
-    # include on-demand upload/allocation costs; measure steady state
-    warmup = int(os.environ.get("BENCH_WARMUP", 12))
-    for _ in range(warmup):
-        ts, _ = ppo._train_iter(ts)
-    jax.block_until_ready(ts.params)
+    train_iter = ppo._make_train_iter()
 
+    @jax.jit
+    def run_iters(ts):
+        def body(ts, _):
+            ts, metrics = train_iter(ts)
+            return ts, metrics["mean_reward"]
+        ts, rews = jax.lax.scan(body, ts, None, length=iters)
+        # scalar that depends on the final state forces full completion
+        return ts, rews[-1] + ts.iteration.astype(jnp.float32)
+
+    # compile + warmup: the axon runtime's first executions of a program
+    # include on-demand upload/allocation costs; fetching the probe scalar is
+    # the only real barrier on this backend
+    warmup = int(os.environ.get("BENCH_WARMUP", 2))
+    for _ in range(warmup):
+        ts, probe = run_iters(ts)
+        float(probe)
+
+    rtt = measure_rtt()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        ts, metrics = ppo._train_iter(ts)
-    jax.block_until_ready(ts.params)
-    dt = time.perf_counter() - t0
+    ts, probe = run_iters(ts)
+    float(probe)
+    dt = (time.perf_counter() - t0) - rtt
 
     steps = cfg.nsteps * num_envs * iters
     sps = steps / dt

@@ -1,44 +1,33 @@
 """Phase-level profile of the TenAnt+MAPPO/HAPPO iteration on the TPU.
 
-Times, at bench shapes (E=4096, episode_length=8, 10 agents, 512-hidden):
-  1. full cached train_iter            (rollout + GAE + all-agent epochs)
-  2. rollout only                      (scan of act_all + env.step)
-  3. act_all + value_all               (per-step NN cost, 10 agents)
-  4. update only                       (GAE + vmapped/scanned agent epochs)
+All timings use utils/profiling.time_scanned (device-side lax.scan + host
+fetch): on the axon runtime `block_until_ready` does NOT wait, so plain
+python-loop timings are invalid (see time_scanned docstring).
 
-Run in the background on axon (fresh compiles can take minutes).
+Phases, at bench shapes (E=4096, episode_length=8, 10 agents, 512-hidden):
+  1. full train_iter       (rollout + GAE + all-agent epochs)
+  2. rollout only          (scan of act_all + value_all + env.step)
+  3. act_all+value_all     (per-step NN cost, 10 agents, chained via obs)
+  4. env.step              (one control step, chained via state)
+
   MARL_ALGO=mappo|happo|ippo python scripts/profile_marl.py
 """
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
 from massive_marl_tpu.algos.marl.runner import MarlConfig, MarlRunner
+from massive_marl_tpu.envs.base import batched_step
 from massive_marl_tpu.envs.ten_ant import TenAntEnv
-
-
-def timeit(name, fn, *args, n=20, warmup=12):
-    t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t_compile = time.perf_counter() - t0
-    for _ in range(warmup - 1):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name:34s} {dt * 1e3:9.3f} ms/call   (first call incl compile: {t_compile:.1f} s)",
-          flush=True)
-    return dt
+from massive_marl_tpu.utils.profiling import measure_rtt, time_scanned
 
 
 def main():
@@ -50,20 +39,14 @@ def main():
     runner = MarlRunner(env, num_envs=E, cfg=cfg, seed=0, print_log=False)
     ts = runner.init_state()
     T, N = cfg.episode_length, runner.N
-    print(f"algo={algo} E={E} T={T} N={N} fused={fused}", flush=True)
+    rtt = measure_rtt()
+    print(f"algo={algo} E={E} T={T} N={N} fused={fused} rtt={rtt*1e3:.1f}ms", flush=True)
 
-    # 1. full iteration
-    full = timeit("full train_iter", runner._train_iter, ts)
-    sps = T * E / full
-    print(f"  -> {sps:,.0f} env-steps/s", flush=True)
+    train_iter = runner._make_train_iter()
 
-    # internals (rebuild the pieces the way _make_train_iter composes them)
-    ti = runner._make_train_iter()
-
-    # 2. rollout only
-    import types
-    from massive_marl_tpu.envs.base import batched_step
-    from massive_marl_tpu.algos.marl import nets
+    # 1. full iteration (carry = train state)
+    dt = time_scanned(lambda ts: train_iter(ts)[0], ts, n=10, rtt=rtt)
+    print(f"full train_iter      {dt*1e3:9.3f} ms  -> {T*E/dt:,.0f} env-steps/s", flush=True)
 
     actor, critic = runner.actor, runner.critic
 
@@ -73,48 +56,43 @@ def main():
     def value_all(cp, cin):
         return jax.vmap(lambda p, o: critic.apply(p, o), in_axes=(0, 1), out_axes=1)(cp, cin)
 
-    def rollout_step(carry, _):
-        env_state, key, ap, cp = carry
-        key, k_act = jax.random.split(key)
-        obs_buf = jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs)
-        obs, cin = runner._agent_views(obs_buf)
-        mean, std = act_all(ap, obs)
-        actions = mean + std * jax.random.normal(k_act, mean.shape)
-        values = value_all(cp, cin)
-        a_clip = jnp.clip(actions, -1.0, 1.0)
-        next_state = batched_step(env)(env_state, a_clip.reshape(E, -1))
-        return (next_state, key, ap, cp), (next_state.reward, values)
+    # 2. rollout only (carry = (env_state, key); params closed over)
+    def rollout_once(carry):
+        env_state, key = carry
+        def step(c, _):
+            es, k = c
+            k, k_act = jax.random.split(k)
+            obs_buf = jnp.clip(es.obs, -cfg.clip_obs, cfg.clip_obs)
+            obs, cin = runner._agent_views(obs_buf)
+            mean, std = act_all(ts.actor_params, obs)
+            a = jnp.clip(mean + std * jax.random.normal(k_act, mean.shape), -1, 1)
+            v = value_all(ts.critic_params, cin)
+            es = batched_step(env)(es, a.reshape(E, -1))
+            return (es, k), None
+        return jax.lax.scan(step, (env_state, key), None, length=T)[0]
 
-    @jax.jit
-    def rollout(ts):
-        (es, key, _, _), out = jax.lax.scan(
-            rollout_step, (ts.env_state, ts.key, ts.actor_params, ts.critic_params),
-            None, length=T)
-        return out[0].sum(), es.obs.sum()
+    dt = time_scanned(rollout_once, (ts.env_state, ts.key), n=10, rtt=rtt)
+    print(f"rollout (T steps)    {dt*1e3:9.3f} ms  ({dt/T*1e3:.3f} ms/env-step)", flush=True)
 
-    timeit("rollout only (scan T steps)", rollout, ts)
+    # 3. NN only, chained through obs
+    obs0, _ = runner._agent_views(jnp.clip(ts.env_state.obs, -cfg.clip_obs, cfg.clip_obs))
 
-    # 3. per-step NN
-    obs_buf = jnp.clip(ts.env_state.obs, -cfg.clip_obs, cfg.clip_obs)
-    obs, cin = runner._agent_views(obs_buf)
+    def nn_step(obs):
+        cin = jnp.broadcast_to(
+            obs.reshape(E, -1)[:, None, :obs.shape[-1]], obs.shape) if False else obs
+        mean, std = act_all(ts.actor_params, obs)
+        share = jnp.clip(ts.env_state.obs, -cfg.clip_obs, cfg.clip_obs)
+        _, cin = runner._agent_views(share)
+        v = value_all(ts.critic_params, cin)
+        return obs.at[..., :8].add(1e-4 * mean + 1e-6 * v[..., None])
 
-    @jax.jit
-    def nn_step(ap, cp, obs, cin):
-        m, s = act_all(ap, obs)
-        v = value_all(cp, cin)
-        return m.sum() + v.sum()
+    dt = time_scanned(nn_step, obs0, n=20, rtt=rtt)
+    print(f"act_all+value_all    {dt*1e3:9.3f} ms/step", flush=True)
 
-    timeit("act_all+value_all (one step)", nn_step,
-           ts.actor_params, ts.critic_params, obs, cin)
-
-    # 4. env step only
-    a = jnp.zeros((E, env.num_actions * N if env.num_actions * N == 80 else 80))
-
-    @jax.jit
-    def env_step(es, a):
-        return batched_step(env)(es, a)
-
-    timeit("env.step (one control step)", env_step, ts.env_state, a)
+    # 4. env.step only, chained through state
+    a0 = jnp.zeros((E, 80))
+    dt = time_scanned(lambda es: batched_step(env)(es, a0), ts.env_state, n=20, rtt=rtt)
+    print(f"env.step             {dt*1e3:9.3f} ms/step", flush=True)
 
 
 if __name__ == "__main__":
