@@ -271,7 +271,7 @@ class MaddpgRunner:
         return iteration
 
     def run(self, num_iterations: int | None = None, log_interval: int = 1):
-        from massive_marl_tpu.utils.logging import Writer
+        from massive_marl_tpu.utils.logging import Writer, fetch_metrics
         c = self.cfg
         n = num_iterations or c.max_iterations
         if self.state is None:
@@ -284,7 +284,7 @@ class MaddpgRunner:
             else:
                 self.state, m = self._train_iter(self.state)
             if it % log_interval == 0:
-                mm = {k: float(v) for k, v in m.items()}
+                mm = fetch_metrics(m)
                 fps = c.nsteps * self.num_envs / (time.time() - t0)
                 if writer:
                     writer.add_scalar("train/mean_reward", mm["mean_reward"], it)

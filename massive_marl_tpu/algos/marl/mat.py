@@ -311,7 +311,7 @@ class MatRunner:
         return train_iter
 
     def run(self, num_env_steps: int | None = None, log_interval: int = 1):
-        from massive_marl_tpu.utils.logging import Writer
+        from massive_marl_tpu.utils.logging import Writer, fetch_metrics
         spi = self.cfg.episode_length * self.num_envs
         n = max(1, int((num_env_steps or self.cfg.num_env_steps) // spi))
         if self.state is None:
@@ -321,7 +321,7 @@ class MatRunner:
             t0 = time.time()
             self.state, m = self._train_iter(self.state)
             if it % log_interval == 0:
-                mm = {k: float(v) for k, v in m.items()}
+                mm = fetch_metrics(m)
                 fps = spi / (time.time() - t0)
                 if writer:
                     writer.add_scalar("train/mean_reward", mm["mean_reward"], it)

@@ -444,7 +444,7 @@ class MarlRunner:
 
     # ---------------------------------------------------------------- driving
     def run(self, num_env_steps: int | None = None):
-        from massive_marl_tpu.utils.logging import Writer
+        from massive_marl_tpu.utils.logging import Writer, fetch_metrics
         steps_per_iter = self.cfg.episode_length * self.num_envs
         n_iter = max(1, int((num_env_steps or self.cfg.num_env_steps) // steps_per_iter))
         if self.state is None:
@@ -454,7 +454,7 @@ class MarlRunner:
             t0 = time.time()
             self.state, metrics = self._train_iter(self.state)
             if it % self.cfg.log_interval == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                m = fetch_metrics(metrics)
                 fps = steps_per_iter / (time.time() - t0)
                 if writer:
                     writer.add_scalar("train/mean_reward", m["mean_reward"], it)

@@ -213,7 +213,7 @@ class MAMLPPO:
         return meta_iter
 
     def run(self, num_iterations: int | None = None, log_interval: int = 1):
-        from massive_marl_tpu.utils.logging import Writer
+        from massive_marl_tpu.utils.logging import Writer, fetch_metrics
         n = num_iterations or self.cfg.max_iterations
         if self.state is None:
             self.state = self.init_state()
@@ -222,7 +222,7 @@ class MAMLPPO:
             t0 = time.time()
             self.state, m = self._meta_iter(self.state)
             if it % log_interval == 0:
-                mm = {k: float(v) for k, v in m.items()}
+                mm = fetch_metrics(m)
                 if writer:
                     writer.add_scalar("train/meta_loss", mm["meta_loss"], it)
                     writer.add_scalar("train/mean_reward", mm["mean_reward"], it)

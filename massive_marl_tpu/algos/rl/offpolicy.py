@@ -361,7 +361,7 @@ class OffPolicy:
 
     # ---------------------------------------------------------------- driving
     def run(self, num_learning_iterations: int | None = None, log_interval: int = 1):
-        from massive_marl_tpu.utils.logging import Writer
+        from massive_marl_tpu.utils.logging import Writer, fetch_metrics
         cfg = self.cfg
         n_iter = num_learning_iterations or cfg.max_iterations
         if self.state is None:
@@ -378,7 +378,7 @@ class OffPolicy:
             else:
                 self.state, metrics = self._train_iter(self.state)
             if it % log_interval == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                m = fetch_metrics(metrics)
                 fps = steps_per_iter / (time.time() - t0)
                 if writer:
                     writer.add_scalar("train/mean_reward", m["mean_reward"], it)

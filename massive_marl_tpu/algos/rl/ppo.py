@@ -268,7 +268,7 @@ class PPO:
 
     # ---------------------------------------------------------------- driving
     def run(self, num_learning_iterations: int | None = None, log_interval: int = 1):
-        from massive_marl_tpu.utils.logging import Writer
+        from massive_marl_tpu.utils.logging import Writer, fetch_metrics
         n_iter = num_learning_iterations or self.cfg.max_iterations
         if self.state is None:
             self.state = self.init_state()
@@ -278,7 +278,7 @@ class PPO:
             t0 = time.time()
             self.state, metrics = self._train_iter(self.state)
             if it % log_interval == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                m = fetch_metrics(metrics)
                 dt_it = time.time() - t0
                 m["fps"] = steps_per_iter / dt_it
                 if writer:

@@ -15,6 +15,19 @@ import os
 import time
 
 
+def fetch_metrics(metrics: dict) -> dict:
+    """Pull a dict of device scalars to host floats with ONE transfer.
+
+    `float(v)` per metric costs one host round-trip each (~43 ms over the
+    axon tunnel); stacking first makes logging O(1) round-trips per
+    iteration regardless of how many scalars a trainer logs."""
+    import jax
+    import jax.numpy as jnp
+    keys = list(metrics.keys())
+    vals = jax.device_get(jnp.stack([jnp.asarray(metrics[k], jnp.float32) for k in keys]))
+    return {k: float(v) for k, v in zip(keys, vals)}
+
+
 class Writer:
     def __init__(self, log_dir: str, use_tensorboard: bool = True):
         self.log_dir = log_dir
