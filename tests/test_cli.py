@@ -48,6 +48,15 @@ def test_cli_test_mode_evaluates(tmp_path):
     assert int(trainer.state.iteration) == 0
 
 
+def test_rlgames_shim(monkeypatch, tmp_path):
+    """train_rlgames.py parses its flag surface (incl. --horovod) and trains."""
+    import train_rlgames
+    monkeypatch.setattr("sys.argv", [
+        "train_rlgames.py", "--task", "OneAnt", "--num_envs", "8",
+        "--max_iterations", "2", "--seed", "0", "--horovod"])
+    train_rlgames.main()
+
+
 def test_make_api_random_loop():
     """train_customize.py semantics: make() -> reset -> step(random)."""
     import numpy as np
