@@ -1,0 +1,53 @@
+"""Agent-stacked MarlActor/MarlCritic forwards on the fused Pallas MLP block
+(ops/fused_mlp.py).
+
+Used by the MARL update phase (runner.py), where batches are naturally
+[N_agents, B, ...]: the agent axis becomes a kernel grid dimension instead
+of a vmap, and each Dense->ELU->LayerNorm block runs as one fused kernel
+(see ops/fused_mlp.py docstring for the bandwidth analysis).  Parameter
+trees are the ordinary jax.vmap-initialized flax variables - every leaf has
+a leading N axis - so checkpoints and the flax path stay interchangeable.
+
+Gradients flow through a custom VJP (reverse-mode only): HATRPO's
+Fisher-vector products need forward-mode and keep the flax path
+(runner.py trpo_actor_update).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from massive_marl_tpu.ops.fused_mlp import mlp_base_stacked
+
+
+def actor_apply(variables: dict, obs: jnp.ndarray, *,
+                std_x_coef: float = 1.0, std_y_coef: float = 0.5,
+                layer_n: int = 2, prenormed: bool = False,
+                interpret: bool | None = None):
+    """MarlActor.apply, agent-stacked: obs [N,B,obs_dim] -> (mean, std) [N,B,act].
+
+    Mirrors algos/marl/nets.py MarlActor (MLPBase -> Dense head + sigmoid
+    std), matching the reference actor (marl/actor_critic.py:11-99 +
+    distributions.py:94-117).
+    """
+    p = variables["params"]
+    h = mlp_base_stacked(p["MLPBase_0"], obs, layer_n=layer_n,
+                         prenormed=prenormed, interpret=interpret)
+    head = p["Dense_0"]
+    mean = jnp.einsum("nbh,nho->nbo", h.astype(jnp.float32), head["kernel"]) \
+        + head["bias"][:, None, :]
+    std = jax.nn.sigmoid(p["std_param"] / std_x_coef) * std_y_coef  # [N, act]
+    return mean, jnp.broadcast_to(std[:, None, :], mean.shape)
+
+
+def critic_apply(variables: dict, x: jnp.ndarray, *, layer_n: int = 2,
+                 prenormed: bool = False,
+                 interpret: bool | None = None) -> jnp.ndarray:
+    """MarlCritic.apply, agent-stacked: x [N,B,in_dim] -> values [N,B]."""
+    p = variables["params"]
+    h = mlp_base_stacked(p["MLPBase_0"], x, layer_n=layer_n,
+                         prenormed=prenormed, interpret=interpret)
+    head = p["Dense_0"]
+    v = jnp.einsum("nbh,nho->nbo", h.astype(jnp.float32), head["kernel"]) \
+        + head["bias"][:, None, :]
+    return jnp.squeeze(v, -1)

@@ -65,6 +65,10 @@ class MarlConfig:
     use_recurrent_policy: bool = False   # GRU path (actor_critic.py:35-36)
     use_huber_loss: bool = True
     use_clipped_value_loss: bool = True
+    # fused Pallas MLP block for the update phase (ops/fused_mlp.py);
+    # "auto" = on when running on TPU, off on CPU (where the flax path is
+    # faster than the pallas interpreter)
+    use_fused_mlp: Any = "auto"
     clip_obs: float = 7.0                # multi_vec_task.py:22
     clip_actions: float = 1.0
     save_interval: int = 200
@@ -87,6 +91,7 @@ class MarlConfig:
             "use_valuenorm": "use_valuenorm",
             "use_huber_loss": "use_huber_loss",
             "use_clipped_value_loss": "use_clipped_value_loss",
+            "use_fused_mlp": "use_fused_mlp",
         }
         kw = {"algorithm_name": algo}
         for k, yk in m.items():
@@ -182,6 +187,49 @@ class MarlRunner:
         actor_tx, critic_tx = self.actor_tx, self.critic_tx
         is_happo = cfg.algorithm_name in ("happo", "hatrpo")
 
+        # ---- fused Pallas MLP block for the update phase (ops/fused_mlp.py):
+        # the learner is HBM-bound (BASELINE.md "Roofline verdict"); the fused
+        # kernels cut the per-layer activation round-trips.  Auto: TPU only.
+        use_fused = cfg.use_fused_mlp
+        if use_fused == "auto":
+            use_fused = jax.default_backend() in ("tpu", "axon")
+        use_fused = bool(use_fused) and cfg.hidden_size % 128 == 0
+
+        # HAPPO's per-agent batches get feature-normalized ONCE before the
+        # epoch loop (the LN statistics are parameter-free); hatrpo keeps raw
+        # batches because its TRPO step runs on the flax actor
+        happo_prenorm = False
+
+        if use_fused:
+            from massive_marl_tpu.algos.marl import fused_nets
+            from massive_marl_tpu.ops.fused_mlp import feature_norm
+            happo_prenorm = cfg.algorithm_name == "happo"
+
+            def f_actor(ap, obs, prenormed=False):  # agent-stacked [N,B,obs]
+                return fused_nets.actor_apply(
+                    ap, obs, std_x_coef=cfg.std_x_coef,
+                    std_y_coef=cfg.std_y_coef, layer_n=cfg.layer_n,
+                    prenormed=prenormed)
+
+            def f_critic(cp, cin, prenormed=False):
+                return fused_nets.critic_apply(cp, cin, layer_n=cfg.layer_n,
+                                               prenormed=prenormed)
+
+            def a_apply(p, o, prenormed=False):  # one agent (HAPPO path)
+                one = jax.tree_util.tree_map(lambda x: x[None], p)
+                m, s = f_actor(one, o[None], prenormed)
+                return m[0], s[0]
+
+            def c_apply(p, o, prenormed=False):
+                one = jax.tree_util.tree_map(lambda x: x[None], p)
+                return f_critic(one, o[None], prenormed)[0]
+        else:
+            def a_apply(p, o, prenormed=False):
+                return actor.apply(p, o)
+
+            def c_apply(p, o, prenormed=False):
+                return critic.apply(p, o)
+
         def act_all(actor_params, obs):  # obs [E,N,obs_dim]
             means, stds = jax.vmap(
                 lambda p, o: actor.apply(p, o), in_axes=(0, 1), out_axes=1
@@ -230,7 +278,7 @@ class MarlRunner:
             return adv_n, returns
 
         def actor_loss_fn(params, batch, factor):
-            mean, std = actor.apply(params, batch["obs"])
+            mean, std = a_apply(params, batch["obs"], happo_prenorm)
             logp = nets.normal_log_prob(mean, std, batch["actions"])
             ratio = jnp.exp(logp - batch["logp"])
             surr1 = ratio * batch["adv"]
@@ -239,8 +287,9 @@ class MarlRunner:
             ent = nets.normal_entropy(std).mean()
             return loss - cfg.entropy_coef * ent, (loss, ratio.mean())
 
-        def critic_loss_fn(params, batch, vn: nets.ValueNorm):
-            values = critic.apply(params, batch["cin"])
+        def critic_loss_fn(params, batch, vn: nets.ValueNorm,
+                           prenormed: bool = False):
+            values = c_apply(params, batch["cin"], prenormed)
             ret_norm = vn.normalize(batch["returns"])
             v_clip = batch["values"] + jnp.clip(values - batch["values"],
                                                 -cfg.clip_param, cfg.clip_param)
@@ -339,10 +388,60 @@ class MarlRunner:
                 # each pass (popart.py:40-58 train=True)
                 vn = vn.update(batch["returns"])
                 (closs, vloss), cgrad = jax.value_and_grad(critic_loss_fn, has_aux=True)(
-                    cp, batch, vn)
+                    cp, batch, vn, happo_prenorm)
                 cu, co = critic_tx.update(cgrad, co, cp)
                 cp = optax.apply_updates(cp, cu)
                 return (ap, ao, cp, co, vn), (aux[0], vloss)
+
+            (ap, ao, cp, co, vn), (alosses, vlosses) = jax.lax.scan(
+                one_epoch, (ap, ao, cp, co, vn), None, length=cfg.ppo_epoch)
+            return ap, ao, cp, co, vn, alosses.mean(), vlosses.mean()
+
+        def stacked_epochs(ap, ao, cp, co, vn, batches):
+            """All agents jointly on the fused kernels (MAPPO/IPPO).  Batch
+            leaves are agent-stacked [N, T*E, ...].  Per-agent mean losses
+            SUMMED over the agent axis give gradients identical to the
+            per-agent updates (parameters are disjoint); the optimizer stays
+            vmapped so clip_by_global_norm remains per-agent, exactly like
+            the reference's per-agent trainers."""
+
+            def actor_loss(ap):
+                mean, std = f_actor(ap, batches["obs"], True)
+                logp = nets.normal_log_prob(mean, std, batches["actions"])
+                ratio = jnp.exp(logp - batches["logp"])
+                surr1 = ratio * batches["adv"]
+                surr2 = jnp.clip(ratio, 1 - cfg.clip_param,
+                                 1 + cfg.clip_param) * batches["adv"]
+                loss_n = -jnp.mean(jnp.minimum(surr1, surr2), axis=-1)   # [N]
+                ent_n = nets.normal_entropy(std).mean(axis=-1)
+                return jnp.sum(loss_n - cfg.entropy_coef * ent_n), loss_n.mean()
+
+            def critic_loss(cp, vn):
+                values = f_critic(cp, batches["cin"], True)
+                ret_norm = jax.vmap(lambda v, r: v.normalize(r))(vn, batches["returns"])
+                v_clip = batches["values"] + jnp.clip(values - batches["values"],
+                                                      -cfg.clip_param, cfg.clip_param)
+                err_o = ret_norm - values
+                err_c = ret_norm - v_clip
+                if cfg.use_huber_loss:
+                    l_o = nets.huber(err_o, cfg.huber_delta)
+                    l_c = nets.huber(err_c, cfg.huber_delta)
+                else:
+                    l_o, l_c = 0.5 * err_o**2, 0.5 * err_c**2
+                l = jnp.maximum(l_o, l_c) if cfg.use_clipped_value_loss else l_o
+                loss_n = cfg.value_loss_coef * jnp.mean(l, axis=-1)
+                return jnp.sum(loss_n), loss_n.mean()
+
+            def one_epoch(carry, _):
+                ap, ao, cp, co, vn = carry
+                (_, aloss), agrad = jax.value_and_grad(actor_loss, has_aux=True)(ap)
+                au, ao = jax.vmap(actor_tx.update)(agrad, ao, ap)
+                ap = optax.apply_updates(ap, au)
+                vn = jax.vmap(lambda v, r: v.update(r))(vn, batches["returns"])
+                (_, vloss), cgrad = jax.value_and_grad(critic_loss, has_aux=True)(cp, vn)
+                cu, co = jax.vmap(critic_tx.update)(cgrad, co, cp)
+                cp = optax.apply_updates(cp, cu)
+                return (ap, ao, cp, co, vn), (aloss, vloss)
 
             (ap, ao, cp, co, vn), (alosses, vlosses) = jax.lax.scan(
                 one_epoch, (ap, ao, cp, co, vn), None, length=cfg.ppo_epoch)
@@ -381,20 +480,35 @@ class MarlRunner:
                 return b
 
             if not is_happo:
-                # -------- MAPPO / IPPO: independent agents, vmapped --------
+                # -------- MAPPO / IPPO: independent agents --------
                 all_batches = jax.vmap(agent_batch_core)(jnp.arange(N))
                 factor = jnp.ones(T * E)
 
-                def upd(ap, ao, cp, co, vn, batch):
-                    # the shared critic input is closed over (NOT vmapped) so
-                    # the 388-dim share obs is never replicated N times in HBM
-                    batch = dict(batch,
-                                 cin=share_flat if cfg.use_centralized_v else batch["obs"])
-                    return agent_epochs(ap, ao, cp, co, vn, batch, factor)
+                if use_fused:
+                    # agent axis = kernel grid dim (stacked joint update);
+                    # feature normalization hoisted OUT of the epoch loop
+                    # (parameter-free; the LN affine runs inside the kernel)
+                    if cfg.use_centralized_v:
+                        share_hat = feature_norm(share_flat)
+                        cin = jnp.broadcast_to(share_hat[None], (N,) + share_hat.shape)
+                    else:
+                        cin = feature_norm(all_batches["obs"])
+                    batches = dict(all_batches,
+                                   obs=feature_norm(all_batches["obs"]), cin=cin)
+                    ap, ao, cp, co, vn, alosses, vlosses = stacked_epochs(
+                        ts.actor_params, ts.actor_opt, ts.critic_params,
+                        ts.critic_opt, ts.vnorm, batches)
+                else:
+                    def upd(ap, ao, cp, co, vn, batch):
+                        # the shared critic input is closed over (NOT vmapped)
+                        # so the 388-dim share obs is never replicated N times
+                        batch = dict(batch,
+                                     cin=share_flat if cfg.use_centralized_v else batch["obs"])
+                        return agent_epochs(ap, ao, cp, co, vn, batch, factor)
 
-                ap, ao, cp, co, vn, alosses, vlosses = jax.vmap(upd)(
-                    ts.actor_params, ts.actor_opt, ts.critic_params, ts.critic_opt,
-                    ts.vnorm, all_batches)
+                    ap, ao, cp, co, vn, alosses, vlosses = jax.vmap(upd)(
+                        ts.actor_params, ts.actor_opt, ts.critic_params,
+                        ts.critic_opt, ts.vnorm, all_batches)
             else:
                 # -------- HAPPO: sequential agents with importance factor
                 # (runner.py:266-317) --------
@@ -404,6 +518,9 @@ class MarlRunner:
                 def happo_agent(carry, i):
                     ap_all, ao_all, cp_all, co_all, vn_all, factor = carry
                     batch = agent_batch(i)
+                    if happo_prenorm:
+                        batch = dict(batch, obs=feature_norm(batch["obs"]),
+                                     cin=feature_norm(batch["cin"]))
                     gi = lambda tree: jax.tree_util.tree_map(
                         lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False), tree)
                     si = lambda tree, new: jax.tree_util.tree_map(
@@ -411,15 +528,18 @@ class MarlRunner:
                         tree, new)
                     ap, ao, cp, co, vn = gi(ap_all), gi(ao_all), gi(cp_all), gi(co_all), gi(vn_all)
 
-                    mean_o, std_o = actor.apply(ap, batch["obs"])
+                    mean_o, std_o = a_apply(ap, batch["obs"], happo_prenorm)
                     old_logp = nets.normal_log_prob(mean_o, std_o, batch["actions"])
                     if cfg.algorithm_name == "hatrpo":
+                        # trpo_actor_update stays on flax actor.apply: its
+                        # Fisher-vector products need forward-mode AD, which
+                        # the fused block's custom_vjp does not support
                         ap, aloss = trpo_actor_update(ap, batch, factor)
                         cp, co, vn, vloss = critic_epochs(cp, co, vn, batch)
                     else:
                         ap, ao, cp, co, vn, aloss, vloss = agent_epochs(
                             ap, ao, cp, co, vn, batch, factor)
-                    mean_n, std_n = actor.apply(ap, batch["obs"])
+                    mean_n, std_n = a_apply(ap, batch["obs"], happo_prenorm)
                     new_logp = nets.normal_log_prob(mean_n, std_n, batch["actions"])
                     factor = factor * jnp.exp(new_logp - old_logp)
 
