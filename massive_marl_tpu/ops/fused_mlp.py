@@ -49,7 +49,7 @@ def _fwd_kernel(x_ref, w_ref, b_ref, g_ref, be_ref, g0_ref, b0_ref, y_ref, a_ref
     # (x-mu)/sigma once per update); gamma0/beta0 are that LN's learnables
     x = (x_ref[0].astype(jnp.float32) * g0_ref[0].astype(jnp.float32)
          + b0_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
-    w = w_ref[0].astype(jnp.bfloat16)              # [Din, H] (f32 master)
+    w = w_ref[0]                                   # [Din, H] bf16 stream
     h = jnp.dot(x, w, preferred_element_type=jnp.float32) + b_ref[0].astype(jnp.float32)
     # elu in f32 (expm1 has no Pallas TPU lowering; exp-1 in f32 is fine -
     # the bf16 residual rounding dominates)
@@ -72,7 +72,7 @@ def _bwd_kernel(dy_ref, a_ref, x_ref, w_ref, g_ref, g0_ref, b0_ref,
     g0 = g0_ref[0].astype(jnp.float32)
     x = (xhat.astype(jnp.float32) * g0
          + b0_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
-    w = w_ref[0].astype(jnp.bfloat16)              # [Din, H] (f32 master)
+    w = w_ref[0]                                   # [Din, H] bf16 stream
 
     mu = jnp.mean(a, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(a - mu), axis=-1, keepdims=True)
@@ -125,7 +125,13 @@ def _bwd_kernel(dy_ref, a_ref, x_ref, w_ref, g_ref, g0_ref, b0_ref,
 # ---------------------------------------------------------------------------
 
 def _pick_bm(B: int) -> int:
-    for bm in (512, 256, 128, 64, 32, 16, 8):
+    import os
+    forced = int(os.environ.get("FUSED_MLP_BM", "0"))  # perf-sweep knob
+    if forced and B % forced == 0:
+        return forced
+    # swept on v5e at MAPPO bench shapes: 1024 = 196.4k, 512 = 190.5k,
+    # 256 = 174.7k env-steps/s; 2048 exceeds VMEM
+    for bm in (1024, 512, 256, 128, 64, 32, 16, 8):
         if B % bm == 0:
             return bm
     return 0
@@ -135,6 +141,9 @@ def _fwd_call(x, w, b, g, be, g0, b0, bm: int, interpret: bool):
     N, B, Din = x.shape
     H = w.shape[-1]
     grid = (N, B // bm)
+    # stream the weights bf16 (cast once here, NOT per grid step): the f32
+    # master stays the custom-vjp primal so dW comes back f32 for adam
+    w = w.astype(jnp.bfloat16)
     y, a = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
@@ -165,6 +174,7 @@ def _bwd_call(dy, a, x, w, g, g0, b0, bm: int, interpret: bool):
     N, B, Din = x.shape
     H = w.shape[-1]
     grid = (N, B // bm)
+    w = w.astype(jnp.bfloat16)
     dx, dw, db, dg, dbe, dg0, db0 = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
