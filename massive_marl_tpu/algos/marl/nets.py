@@ -117,11 +117,17 @@ class ValueNorm:
         var = jnp.maximum(msq - m**2, 1e-2)
         return m, var
 
-    def update(self, batch):
+    def update(self, batch, axis_name: str | None = None):
+        """axis_name: mesh axis to pmean the batch statistics over when the
+        batch is sharded (multi-chip update under shard_map)."""
+        m, msq = batch.mean(), (batch**2).mean()
+        if axis_name is not None:
+            m = jax.lax.pmean(m, axis_name)
+            msq = jax.lax.pmean(msq, axis_name)
         w = self.beta
         return self.replace(
-            mean=self.mean * w + batch.mean() * (1 - w),
-            mean_sq=self.mean_sq * w + (batch**2).mean() * (1 - w),
+            mean=self.mean * w + m * (1 - w),
+            mean_sq=self.mean_sq * w + msq * (1 - w),
             debias=self.debias * w + (1 - w),
         )
 

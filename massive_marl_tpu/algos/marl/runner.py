@@ -121,13 +121,18 @@ class MarlRunner:
     """Runner(env, config) equivalent: builds N policies and trains them."""
 
     def __init__(self, env, num_envs: int, cfg: MarlConfig | None = None,
-                 seed: int = 0, log_dir: str | None = None, print_log: bool = True):
+                 seed: int = 0, log_dir: str | None = None, print_log: bool = True,
+                 mesh=None):
         self.env = env
         self.num_envs = num_envs
         self.cfg = cfg or MarlConfig()
         self.seed = seed
         self.log_dir = log_dir
         self.print_log = print_log
+        # multi-device: env step AND the fused update run under shard_map
+        # over mesh axis 'data' (pallas_call cannot be auto-partitioned);
+        # gradients/value-norm stats are pmean'd inside (parallel/mesh.py)
+        self.mesh = mesh
 
         self.N = env.num_agents
         self.act_dim = env.num_actions
@@ -186,6 +191,12 @@ class MarlRunner:
         actor, critic = self.actor, self.critic
         actor_tx, critic_tx = self.actor_tx, self.critic_tx
         is_happo = cfg.algorithm_name in ("happo", "hatrpo")
+        mesh = self.mesh
+
+        env_step = batched_step(env)
+        if mesh is not None:
+            from massive_marl_tpu.parallel.mesh import shard_env_step
+            env_step = shard_env_step(env_step, mesh)
 
         # ---- fused Pallas MLP block for the update phase (ops/fused_mlp.py):
         # the learner is HBM-bound (BASELINE.md "Roofline verdict"); the fused
@@ -194,6 +205,10 @@ class MarlRunner:
         if use_fused == "auto":
             use_fused = jax.default_backend() in ("tpu", "axon")
         use_fused = bool(use_fused) and cfg.hidden_size % 128 == 0
+        if mesh is not None and is_happo:
+            # the HAPPO sequential per-agent loop is not shard_mapped; its
+            # multi-chip learner stays on flax (XLA auto-partitions it)
+            use_fused = False
 
         # HAPPO's per-agent batches get feature-normalized ONCE before the
         # epoch loop (the LN statistics are parameter-free); hatrpo keeps raw
@@ -250,7 +265,7 @@ class MarlRunner:
             logp = nets.normal_log_prob(mean, std, actions)           # [E,N]
             values = value_all(cp, cin)                               # [E,N]
             a_clip = jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions)
-            next_state = batched_step(env)(env_state, a_clip.reshape(E, -1))
+            next_state = env_step(env_state, a_clip.reshape(E, -1))
             # store the global obs_buf ONCE per step; per-agent critic views
             # are rebuilt at update time (saves N x share_dim HBM)
             data = dict(obs=obs, share=obs_buf, actions=actions, logp=logp,
@@ -397,13 +412,18 @@ class MarlRunner:
                 one_epoch, (ap, ao, cp, co, vn), None, length=cfg.ppo_epoch)
             return ap, ao, cp, co, vn, alosses.mean(), vlosses.mean()
 
-        def stacked_epochs(ap, ao, cp, co, vn, batches):
+        def stacked_epochs(ap, ao, cp, co, vn, batches, axis_name=None):
             """All agents jointly on the fused kernels (MAPPO/IPPO).  Batch
             leaves are agent-stacked [N, T*E, ...].  Per-agent mean losses
             SUMMED over the agent axis give gradients identical to the
             per-agent updates (parameters are disjoint); the optimizer stays
             vmapped so clip_by_global_norm remains per-agent, exactly like
-            the reference's per-agent trainers."""
+            the reference's per-agent trainers.
+
+            axis_name: set when running under shard_map with the batch axis
+            sharded - gradients, losses and value-norm statistics are
+            pmean'd over it (equal shard sizes, so mean-of-shard-means ==
+            global mean)."""
 
             def actor_loss(ap):
                 mean, std = f_actor(ap, batches["obs"], True)
@@ -435,10 +455,16 @@ class MarlRunner:
             def one_epoch(carry, _):
                 ap, ao, cp, co, vn = carry
                 (_, aloss), agrad = jax.value_and_grad(actor_loss, has_aux=True)(ap)
+                if axis_name is not None:
+                    agrad = jax.lax.pmean(agrad, axis_name)
+                    aloss = jax.lax.pmean(aloss, axis_name)
                 au, ao = jax.vmap(actor_tx.update)(agrad, ao, ap)
                 ap = optax.apply_updates(ap, au)
-                vn = jax.vmap(lambda v, r: v.update(r))(vn, batches["returns"])
+                vn = jax.vmap(lambda v, r: v.update(r, axis_name))(vn, batches["returns"])
                 (_, vloss), cgrad = jax.value_and_grad(critic_loss, has_aux=True)(cp, vn)
+                if axis_name is not None:
+                    cgrad = jax.lax.pmean(cgrad, axis_name)
+                    vloss = jax.lax.pmean(vloss, axis_name)
                 cu, co = jax.vmap(critic_tx.update)(cgrad, co, cp)
                 cp = optax.apply_updates(cp, cu)
                 return (ap, ao, cp, co, vn), (aloss, vloss)
@@ -495,9 +521,32 @@ class MarlRunner:
                         cin = feature_norm(all_batches["obs"])
                     batches = dict(all_batches,
                                    obs=feature_norm(all_batches["obs"]), cin=cin)
-                    ap, ao, cp, co, vn, alosses, vlosses = stacked_epochs(
-                        ts.actor_params, ts.actor_opt, ts.critic_params,
-                        ts.critic_opt, ts.vnorm, batches)
+                    if mesh is None:
+                        ap, ao, cp, co, vn, alosses, vlosses = stacked_epochs(
+                            ts.actor_params, ts.actor_opt, ts.critic_params,
+                            ts.critic_opt, ts.vnorm, batches)
+                    else:
+                        # pallas_call cannot be auto-partitioned: the whole
+                        # fused update runs under shard_map, batch axis
+                        # sharded over 'data', params replicated, grads and
+                        # value-norm stats pmean'd inside (stacked_epochs)
+                        from jax import shard_map
+                        from jax.sharding import PartitionSpec as P
+
+                        def bspec(x):
+                            return P(*((None, "data") + (None,) * (x.ndim - 2)))
+
+                        fn = lambda ap, ao, cp, co, vn, b: stacked_epochs(
+                            ap, ao, cp, co, vn, b, axis_name="data")
+                        sharded = shard_map(
+                            fn, mesh=mesh,
+                            in_specs=(P(), P(), P(), P(), P(),
+                                      jax.tree_util.tree_map(bspec, batches)),
+                            out_specs=(P(), P(), P(), P(), P(), P(), P()),
+                            check_vma=False)
+                        ap, ao, cp, co, vn, alosses, vlosses = sharded(
+                            ts.actor_params, ts.actor_opt, ts.critic_params,
+                            ts.critic_opt, ts.vnorm, batches)
                 else:
                     def upd(ap, ao, cp, co, vn, batch):
                         # the shared critic input is closed over (NOT vmapped)

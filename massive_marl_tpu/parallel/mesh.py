@@ -81,8 +81,8 @@ def shard_env_step(step_fn, mesh: Mesh):
     (the fused physics kernel) on its own - shard_map runs the kernel
     per-shard on each device's slice of the env batch, and the surrounding
     jit keeps auto-partitioning the learner around it."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     return shard_map(step_fn, mesh=mesh, in_specs=(P("data"), P("data")),
-                     out_specs=P("data"), check_rep=False)
+                     out_specs=P("data"), check_vma=False)

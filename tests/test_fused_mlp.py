@@ -85,6 +85,37 @@ def test_runner_fused_iteration_matches_flax(algo):
                                                     rel=0.15, abs=0.05)
 
 
+def test_fused_mappo_sharded_matches_single_device():
+    """MAPPO with the fused update under shard_map on the virtual 8-device
+    mesh equals the single-device fused run (pmean'd grads/stats)."""
+    from massive_marl_tpu.algos.marl.runner import MarlConfig, MarlRunner
+    from massive_marl_tpu.envs.ten_ant import TenAntEnv
+    from massive_marl_tpu.parallel import mesh as meshlib
+
+    env = TenAntEnv({"sim": {"substeps": 2}})
+    cfg = MarlConfig(hidden_size=128, use_fused_mlp=True)
+    out = {}
+    for mesh in (None, meshlib.make_mesh(8)):
+        r = MarlRunner(env, num_envs=16, cfg=cfg, seed=11, print_log=False,
+                       mesh=mesh)
+        ts = r.init_state()
+        if mesh is not None:
+            ts = meshlib.apply_sharding(ts, mesh)
+        ts, metrics = r._train_iter(ts)
+        key = "sharded" if mesh is not None else "single"
+        out[key] = (jax.device_get(ts.actor_params), metrics)
+    # identical rollout, pmean'd update: same params up to reduction order
+    for (p1, s1), p2 in zip(
+            jax.tree_util.tree_flatten_with_path(out["single"][0])[0],
+            jax.tree_util.tree_leaves(out["sharded"][0])):
+        np.testing.assert_allclose(
+            np.asarray(s1, np.float32), np.asarray(p2, np.float32),
+            rtol=0, atol=2e-2 * max(1.0, float(np.abs(np.asarray(s1)).max())),
+            err_msg=f"param mismatch at {jax.tree_util.keystr(p1)}")
+    assert out["sharded"][1]["mean_reward"] == pytest.approx(
+        float(out["single"][1]["mean_reward"]), abs=1e-4)
+
+
 def test_critic_matches_flax():
     critic = nets.MarlCritic(hidden_size=256)
     key = jax.random.PRNGKey(4)
