@@ -115,6 +115,11 @@ class MarlTrainState:
     env_state: Any
     key: jnp.ndarray
     iteration: jnp.ndarray
+    # episode-return bookkeeping (reference runner.py:145-163: per-env reward
+    # accumulator, appended to train_episode_rewards on done)
+    ep_ret: Any = None        # [E] running team-reward sum since last reset
+    last_ep_ret: Any = None   # [E] return of the most recently completed episode
+    ep_count: Any = None      # [E] completed-episode counter
 
 
 class MarlRunner:
@@ -168,10 +173,13 @@ class MarlRunner:
         critic_opt = jax.vmap(self.critic_tx.init)(critic_params)
         vnorm = jax.vmap(lambda _: nets.ValueNorm.create())(jnp.arange(self.N))
         env_state = jax.jit(jax.vmap(self.env.reset))(jax.random.split(k_env, self.num_envs))
+        E = self.num_envs
         return MarlTrainState(actor_params=actor_params, critic_params=critic_params,
                               actor_opt=actor_opt, critic_opt=critic_opt, vnorm=vnorm,
                               env_state=env_state, key=key,
-                              iteration=jnp.asarray(0, jnp.int32))
+                              iteration=jnp.asarray(0, jnp.int32),
+                              ep_ret=jnp.zeros(E), last_ep_ret=jnp.zeros(E),
+                              ep_count=jnp.zeros(E, jnp.int32))
 
     # --------------------------------------------------------------- internals
     def _agent_views(self, obs_buf):
@@ -601,13 +609,32 @@ class MarlRunner:
                 (ap, ao, cp, co, vn, _), (alosses, vlosses) = jax.lax.scan(
                     happo_agent, init, perm)
 
+            # episode returns (reference runner.py:145-163 accumulator semantics)
+            def ep_step(c, x):
+                ep, last, cnt = c
+                r, d = x
+                ep = ep + r
+                fin = d > 0
+                last = jnp.where(fin, ep, last)
+                cnt = cnt + fin.astype(jnp.int32)
+                return (jnp.where(fin, 0.0, ep), last, cnt), None
+
+            (ep_ret, last_ep, ep_cnt), _ = jax.lax.scan(
+                ep_step, (ts.ep_ret, ts.last_ep_ret, ts.ep_count),
+                (traj["reward"], traj["done"]))
+            have = ep_cnt > 0
             metrics = dict(mean_reward=traj["reward"].mean(),
                            value_loss=vlosses.mean(),
                            policy_loss=alosses.mean(),
-                           done_frac=traj["done"].mean())
+                           done_frac=traj["done"].mean(),
+                           episode_rewards=jnp.sum(jnp.where(have, last_ep, 0.0))
+                           / jnp.maximum(1, have.sum()),
+                           episodes_done=have.sum())
             return MarlTrainState(actor_params=ap, critic_params=cp, actor_opt=ao,
                                   critic_opt=co, vnorm=vn, env_state=env_state,
-                                  key=key, iteration=ts.iteration + 1), metrics
+                                  key=key, iteration=ts.iteration + 1,
+                                  ep_ret=ep_ret, last_ep_ret=last_ep,
+                                  ep_count=ep_cnt), metrics
 
         return train_iter
 
@@ -630,6 +657,10 @@ class MarlRunner:
                     writer.add_scalar("train/value_loss", m["value_loss"], it)
                     writer.add_scalar("train/policy_loss", m["policy_loss"], it)
                     writer.add_scalar("perf/fps", fps, it)
+                    if m.get("episodes_done", 0) > 0:
+                        # comparable to the reference's train_episode_rewards
+                        writer.add_scalar("train_episode_rewards",
+                                          m["episode_rewards"], it * steps_per_iter)
                 if self.print_log:
                     print(f"[{self.cfg.algorithm_name}] it {it}/{n_iter} "
                           f"rew/step {m['mean_reward']:.3f} vloss {m['value_loss']:.3f} fps {fps:.0f}")

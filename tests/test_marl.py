@@ -96,3 +96,25 @@ def test_recurrent_marl_runs(algo):
     assert np.isfinite(float(m["value_loss"]))
     # hidden states evolve
     assert not np.allclose(np.array(ts2.actor_h), 0.0)
+
+
+def test_episode_return_tracking():
+    """ep_ret/last_ep_ret/ep_count mirror the reference's per-env episode
+    reward accumulator (runner.py:145-163): TeamEnv episodes are exactly
+    max_len steps of reward, recorded on done and reset to zero."""
+    cfg = MarlConfig(algorithm_name="mappo", episode_length=8, ppo_epoch=1,
+                     hidden_size=16, layer_n=1)
+    env = TeamEnv()
+    runner = MarlRunner(env, num_envs=4, cfg=cfg, seed=3, print_log=False)
+    ts = runner.init_state()
+    n_iters = 4  # 32 steps = 2 full episodes of 16
+    for _ in range(n_iters):
+        ts, m = runner._train_iter(ts)
+    assert ts.ep_count.tolist() == [2, 2, 2, 2]
+    assert np.isfinite(np.array(ts.last_ep_ret)).all()
+    # accumulator was reset on done: running sum covers exactly 1 step since the
+    # last done (episodes are 15 steps + 1 reset step), so it is bounded by one
+    # step's reward range, -mean(pos^2) with pos in [-3,3]
+    assert (np.array(ts.ep_ret) >= -9.0).all() and (np.array(ts.ep_ret) <= 0.0).all()
+    assert float(m["episodes_done"]) == 4
+    assert np.isclose(float(m["episode_rewards"]), float(np.mean(np.array(ts.last_ep_ret))))
