@@ -36,14 +36,19 @@ class SelfAttention(nn.Module):
     heads: int = 1
     causal: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.wq = nn.Dense(self.embed)
+        self.wk = nn.Dense(self.embed)
+        self.wv = nn.Dense(self.embed)
+        self.wo = nn.Dense(self.embed)
+
     def __call__(self, x, kv=None):
         """x: [..., N, embed]; attention over the N (agent) axis."""
         kv = x if kv is None else kv
         H, D = self.heads, self.embed // self.heads
-        q = nn.Dense(self.embed)(x).reshape(*x.shape[:-1], H, D)
-        k = nn.Dense(self.embed)(kv).reshape(*kv.shape[:-1], H, D)
-        v = nn.Dense(self.embed)(kv).reshape(*kv.shape[:-1], H, D)
+        q = self.wq(x).reshape(*x.shape[:-1], H, D)
+        k = self.wk(kv).reshape(*kv.shape[:-1], H, D)
+        v = self.wv(kv).reshape(*kv.shape[:-1], H, D)
         att = jnp.einsum("...qhd,...khd->...hqk", q, k) / np.sqrt(D)
         if self.causal:
             N = x.shape[-2]
@@ -51,7 +56,24 @@ class SelfAttention(nn.Module):
             att = jnp.where(mask, att, -1e9)
         att = jax.nn.softmax(att, axis=-1)
         out = jnp.einsum("...hqk,...khd->...qhd", att, v)
-        return nn.Dense(self.embed)(out.reshape(*x.shape[:-1], self.embed))
+        return self.wo(out.reshape(*x.shape[:-1], self.embed))
+
+    def step(self, x, cache_k, cache_v, idx):
+        """Single-token causal step (KV cache): x [E,1,embed]; caches
+        [E,N,H,D].  Writes this token's k/v at `idx`, attends over <= idx.
+        Same math as the `causal` branch of __call__ restricted to row idx."""
+        H, D = self.heads, self.embed // self.heads
+        E = x.shape[0]
+        q = self.wq(x).reshape(E, 1, H, D)
+        k = self.wk(x).reshape(E, H, D)
+        v = self.wv(x).reshape(E, H, D)
+        cache_k = jax.lax.dynamic_update_index_in_dim(cache_k, k, idx, 1)
+        cache_v = jax.lax.dynamic_update_index_in_dim(cache_v, v, idx, 1)
+        att = jnp.einsum("eqhd,ekhd->ehqk", q, cache_k) / np.sqrt(D)
+        mask = (jnp.arange(cache_k.shape[1]) <= idx)[None, None, None, :]
+        att = jax.nn.softmax(jnp.where(mask, att, -1e9), axis=-1)
+        out = jnp.einsum("ehqk,ekhd->eqhd", att, cache_v).reshape(E, 1, self.embed)
+        return self.wo(out), cache_k, cache_v
 
 
 class Block(nn.Module):
@@ -59,12 +81,23 @@ class Block(nn.Module):
     heads: int = 1
     causal: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.ln1 = nn.LayerNorm()
+        self.attn = SelfAttention(self.embed, self.heads, self.causal)
+        self.ln2 = nn.LayerNorm()
+        self.fc1 = nn.Dense(4 * self.embed)
+        self.fc2 = nn.Dense(self.embed)
+
     def __call__(self, x, kv=None):
-        x = x + SelfAttention(self.embed, self.heads, self.causal)(nn.LayerNorm()(x),
-                                                                   kv)
-        h = nn.Dense(4 * self.embed)(nn.LayerNorm()(x))
-        return x + nn.Dense(self.embed)(nn.gelu(h))
+        x = x + self.attn(self.ln1(x), kv)
+        h = self.fc1(self.ln2(x))
+        return x + self.fc2(nn.gelu(h))
+
+    def step(self, x, cache_k, cache_v, idx):
+        a, cache_k, cache_v = self.attn.step(self.ln1(x), cache_k, cache_v, idx)
+        x = x + a
+        h = self.fc1(self.ln2(x))
+        return x + self.fc2(nn.gelu(h)), cache_k, cache_v
 
 
 class MatEncoder(nn.Module):
@@ -87,23 +120,42 @@ class MatDecoder(nn.Module):
     """(encoded obs repr, shifted prev actions) -> per-agent action means.
 
     Causal attention over the agent axis: agent i sees actions of agents < i
-    (transformer_act autoregressive decode)."""
+    (transformer_act autoregressive decode).  `step` is the KV-cached
+    single-agent decode used during rollout (one token of compute per agent
+    instead of a full N-token pass per agent)."""
     act_dim: int
     embed: int = 64
     blocks: int = 2
     heads: int = 1
 
-    @nn.compact
+    def setup(self):
+        self.embed_act = nn.Dense(self.embed)
+        self.blks = [Block(self.embed, self.heads, causal=True)
+                     for _ in range(self.blocks)]
+        self.ln_out = nn.LayerNorm()
+        self.head = nn.Dense(self.act_dim,
+                             kernel_init=nn.initializers.orthogonal(0.01))
+        self.log_std = self.param("log_std",
+                                  nn.initializers.constant(np.log(0.5)),
+                                  (self.act_dim,))
+
     def __call__(self, rep, prev_actions):
-        a = nn.Dense(self.embed)(prev_actions)
-        x = a + rep
-        for _ in range(self.blocks):
-            x = Block(self.embed, self.heads, causal=True)(x)
-        mean = nn.Dense(self.act_dim,
-                        kernel_init=nn.initializers.orthogonal(0.01))(nn.LayerNorm()(x))
-        log_std = self.param("log_std", nn.initializers.constant(np.log(0.5)),
-                             (self.act_dim,))
-        return mean, jnp.broadcast_to(jnp.exp(log_std), mean.shape)
+        x = self.embed_act(prev_actions) + rep
+        for b in self.blks:
+            x = b(x)
+        mean = self.head(self.ln_out(x))
+        return mean, jnp.broadcast_to(jnp.exp(self.log_std), mean.shape)
+
+    def step(self, rep_i, prev_a_i, caches, idx):
+        """rep_i [E,1,embed], prev_a_i [E,1,act]; caches: ((k,v),)*blocks with
+        k/v [E,N,H,D].  Returns (mean [E,act], std [act], new caches)."""
+        x = self.embed_act(prev_a_i) + rep_i
+        new_caches = []
+        for b, (ck, cv) in zip(self.blks, caches):
+            x, ck, cv = b.step(x, ck, cv, idx)
+            new_caches.append((ck, cv))
+        mean = self.head(self.ln_out(x))[:, 0]
+        return mean, jnp.exp(self.log_std), tuple(new_caches)
 
 
 @dataclass
@@ -134,6 +186,10 @@ class MatTrainState:
     env_state: Any
     key: jnp.ndarray
     iteration: jnp.ndarray
+    # per-env episode-return accumulator (reference runner.py:145-163)
+    ep_ret: Any = None
+    last_ep_ret: Any = None
+    ep_count: Any = None
 
 
 class MatModel(nn.Module):
@@ -156,6 +212,9 @@ class MatModel(nn.Module):
 
     def decode(self, rep, prev_actions):
         return self.decoder(rep, prev_actions)
+
+    def decode_step(self, rep_i, prev_a_i, caches, idx):
+        return self.decoder.step(rep_i, prev_a_i, caches, idx)
 
 
 class MatRunner:
@@ -187,32 +246,49 @@ class MatRunner:
         params = self.model.init(km, obs0, act0)
         env_state = jax.jit(jax.vmap(self.env.reset))(
             jax.random.split(ke, self.num_envs))
+        E = self.num_envs
         return MatTrainState(params=params, opt_state=self.tx.init(params),
                              vnorm=marl_nets.ValueNorm.create(),
                              env_state=env_state, key=key,
-                             iteration=jnp.asarray(0, jnp.int32))
+                             iteration=jnp.asarray(0, jnp.int32),
+                             ep_ret=jnp.zeros(E), last_ep_ret=jnp.zeros(E),
+                             ep_count=jnp.zeros(E, jnp.int32))
 
     def _obs_view(self, obs_buf):
         return split_multi_agent_obs(obs_buf, self.N, self.env.num_ant_obs)
 
     def _decode_autoregressive(self, params, rep, key):
         """Sequential decode over agents (transformer_act.py): each agent's
-        action is sampled conditioned on previously sampled agents."""
+        action is sampled conditioned on previously sampled agents.
+
+        KV-cached: each scan step runs ONE token of decoder compute (the
+        naive form recomputes the full N-token decoder per agent, N+1 full
+        passes per env step).  Returns (actions, mean, std) [E,N,act] so the
+        rollout needs no extra full decode for the joint logp."""
         E = rep.shape[0]
         N, A = self.N, self.act_dim
+        H = self.cfg.heads
+        D = self.cfg.embed // H
+        caches = tuple((jnp.zeros((E, N, H, D)), jnp.zeros((E, N, H, D)))
+                       for _ in range(self.cfg.blocks))
 
         def body(carry, i):
-            actions, key = carry
+            prev_a, key, caches = carry
             key, k = jax.random.split(key)
-            prev = jnp.concatenate([jnp.zeros((E, 1, A)), actions[:, :-1]], axis=1)
-            mean, std = self.model.apply(params, rep, prev, method=MatModel.decode)
-            a_i = mean[:, i] + std[:, i] * jax.random.normal(k, (E, A))
-            actions = actions.at[:, i].set(a_i)
-            return (actions, key), None
+            rep_i = jax.lax.dynamic_slice_in_dim(rep, i, 1, axis=1)
+            mean_i, std, caches = self.model.apply(
+                params, rep_i, prev_a[:, None, :], caches, i,
+                method=MatModel.decode_step)
+            a_i = mean_i + std * jax.random.normal(k, (E, A))
+            return (a_i, key, caches), (a_i, mean_i, std)
 
-        (actions, key), _ = jax.lax.scan(body, (jnp.zeros((E, N, A)), key),
-                                         jnp.arange(N))
-        return actions
+        (_, key, _), (actions, means, stds) = jax.lax.scan(
+            body, (jnp.zeros((E, A)), key, caches), jnp.arange(N))
+        # [N,E,A] -> [E,N,A]; std is state-independent, broadcast it
+        actions = actions.transpose(1, 0, 2)
+        means = means.transpose(1, 0, 2)
+        std = jnp.broadcast_to(stds[0][None, None, :], actions.shape)
+        return actions, means, std
 
     def _joint_logp(self, mean, std, actions):
         z = (actions - mean) / std
@@ -229,10 +305,7 @@ class MatRunner:
             key, k = jax.random.split(key)
             obs = self._obs_view(jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs))
             rep, values = self.model.apply(params, obs, method=MatModel.encode)
-            actions = self._decode_autoregressive(params, rep, k)
-            prev = jnp.concatenate([jnp.zeros((E, 1, self.act_dim)),
-                                    actions[:, :-1]], axis=1)
-            mean, std = self.model.apply(params, rep, prev, method=MatModel.decode)
+            actions, mean, std = self._decode_autoregressive(params, rep, k)
             logp = self._joint_logp(mean, std, actions)
             a_clip = jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions)
             ns = batched_step(env)(env_state, a_clip.reshape(E, -1))
@@ -302,11 +375,29 @@ class MatRunner:
             (params, opt_state, vn), aux = jax.lax.scan(
                 epoch, (ts.params, ts.opt_state, ts.vnorm), None, length=cfg.ppo_epoch)
 
+            def ep_step(c, x):
+                ep, last, cnt = c
+                r, d = x
+                ep = ep + r
+                fin = d > 0
+                last = jnp.where(fin, ep, last)
+                cnt = cnt + fin.astype(jnp.int32)
+                return (jnp.where(fin, 0.0, ep), last, cnt), None
+
+            (ep_ret, last_ep, ep_cnt), _ = jax.lax.scan(
+                ep_step, (ts.ep_ret, ts.last_ep_ret, ts.ep_count),
+                (traj["reward"], traj["done"]))
+            have = ep_cnt > 0
             metrics = dict(mean_reward=traj["reward"].mean(),
-                           policy_loss=aux[0].mean(), value_loss=aux[1].mean())
+                           policy_loss=aux[0].mean(), value_loss=aux[1].mean(),
+                           episode_rewards=jnp.sum(jnp.where(have, last_ep, 0.0))
+                           / jnp.maximum(1, have.sum()),
+                           episodes_done=have.sum())
             return MatTrainState(params=params, opt_state=opt_state, vnorm=vn,
                                  env_state=env_state, key=key,
-                                 iteration=ts.iteration + 1), metrics
+                                 iteration=ts.iteration + 1,
+                                 ep_ret=ep_ret, last_ep_ret=last_ep,
+                                 ep_count=ep_cnt), metrics
 
         return train_iter
 
@@ -326,6 +417,9 @@ class MatRunner:
                 if writer:
                     writer.add_scalar("train/mean_reward", mm["mean_reward"], it)
                     writer.add_scalar("train/value_loss", mm["value_loss"], it)
+                    if mm.get("episodes_done", 0) > 0:
+                        writer.add_scalar("train_episode_rewards",
+                                          mm["episode_rewards"], it * spi)
                 if self.print_log:
                     print(f"[mat] it {it}: rew {mm['mean_reward']:.3f} fps {fps:.0f}")
             if self.log_dir and self.cfg.save_interval and (it + 1) % self.cfg.save_interval == 0:

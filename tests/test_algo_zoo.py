@@ -105,3 +105,38 @@ def test_mttrpo_iteration():
     t.state = t.init_state()
     t.run(2)
     assert int(t.state.iteration) == 2
+
+
+def test_mat_cached_decode_matches_full():
+    """The KV-cached autoregressive decode (MatDecoder.step) must produce the
+    same actions as the naive loop that re-runs the full causal decoder per
+    agent (the reference transformer_act.py semantics)."""
+    import jax.numpy as jnp
+    from massive_marl_tpu.algos.marl.mat import MatConfig, MatModel, MatRunner
+
+    cfg = MatConfig(episode_length=4, embed=16, blocks=2, heads=2)
+    r = MatRunner(TeamEnv(), num_envs=5, cfg=cfg, seed=0, print_log=False)
+    ts = r.init_state()
+    key = jax.random.PRNGKey(42)
+    obs = jax.random.normal(jax.random.PRNGKey(7), (5, r.N, r.obs_dim))
+    rep, _ = r.model.apply(ts.params, obs, method=MatModel.encode)
+
+    actions, mean, std = r._decode_autoregressive(ts.params, rep, key)
+
+    # naive reference: full decoder pass per agent, same key schedule
+    E, N, A = 5, r.N, r.act_dim
+    ref = jnp.zeros((E, N, A))
+    k = key
+    for i in range(N):
+        k, sub = jax.random.split(k)
+        prev = jnp.concatenate([jnp.zeros((E, 1, A)), ref[:, :-1]], axis=1)
+        m_full, s_full = r.model.apply(ts.params, rep, prev, method=MatModel.decode)
+        a_i = m_full[:, i] + s_full[:, i] * jax.random.normal(sub, (E, A))
+        ref = ref.at[:, i].set(a_i)
+
+    np.testing.assert_allclose(np.array(actions), np.array(ref), atol=1e-4)
+    # mean/std returned by the cached path match the full decoder too
+    prev = jnp.concatenate([jnp.zeros((E, 1, A)), ref[:, :-1]], axis=1)
+    m_full, s_full = r.model.apply(ts.params, rep, prev, method=MatModel.decode)
+    np.testing.assert_allclose(np.array(mean), np.array(m_full), atol=1e-4)
+    np.testing.assert_allclose(np.array(std), np.array(s_full), atol=1e-6)
