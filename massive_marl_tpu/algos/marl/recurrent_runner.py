@@ -37,6 +37,10 @@ class RecurrentMarlTrainState:
     env_state: Any
     key: jnp.ndarray
     iteration: jnp.ndarray
+    # per-env episode-return accumulator (reference runner.py:145-163)
+    ep_ret: Any = None
+    last_ep_ret: Any = None
+    ep_count: Any = None
 
 
 class RecurrentMarlRunner(MarlRunner):
@@ -75,7 +79,9 @@ class RecurrentMarlRunner(MarlRunner):
             critic_opt=jax.vmap(self.critic_tx.init)(critic_params),
             vnorm=jax.vmap(lambda _: nets.ValueNorm.create())(jnp.arange(N)),
             actor_h=jnp.zeros((E, N, H)), critic_h=jnp.zeros((E, N, H)),
-            env_state=env_state, key=key, iteration=jnp.asarray(0, jnp.int32))
+            env_state=env_state, key=key, iteration=jnp.asarray(0, jnp.int32),
+            ep_ret=jnp.zeros(E), last_ep_ret=jnp.zeros(E),
+            ep_count=jnp.zeros(E, jnp.int32))
 
     # --------------------------------------------------------------- train it
     def _make_train_iter_rnn(self):
@@ -247,13 +253,30 @@ class RecurrentMarlRunner(MarlRunner):
                 (ap, ao, cp, co, vn, _), (alosses, vlosses) = jax.lax.scan(
                     happo_agent, init, perm)
 
+            def ep_step(c, x):
+                ep, last, cnt = c
+                r, d = x
+                ep = ep + r
+                fin = d > 0
+                last = jnp.where(fin, ep, last)
+                cnt = cnt + fin.astype(jnp.int32)
+                return (jnp.where(fin, 0.0, ep), last, cnt), None
+
+            (ep_ret, last_ep, ep_cnt), _ = jax.lax.scan(
+                ep_step, (ts.ep_ret, ts.last_ep_ret, ts.ep_count),
+                (traj["reward"], traj["done"]))
+            have = ep_cnt > 0
             metrics = dict(mean_reward=traj["reward"].mean(),
                            value_loss=vlosses.mean(), policy_loss=alosses.mean(),
-                           done_frac=traj["done"].mean())
+                           done_frac=traj["done"].mean(),
+                           episode_rewards=jnp.sum(jnp.where(have, last_ep, 0.0))
+                           / jnp.maximum(1, have.sum()),
+                           episodes_done=have.sum())
             return RecurrentMarlTrainState(
                 actor_params=ap, critic_params=cp, actor_opt=ao, critic_opt=co,
                 vnorm=vn, actor_h=ah, critic_h=ch, env_state=env_state, key=key,
-                iteration=ts.iteration + 1), metrics
+                iteration=ts.iteration + 1,
+                ep_ret=ep_ret, last_ep_ret=last_ep, ep_count=ep_cnt), metrics
 
         return train_iter
 

@@ -24,4 +24,9 @@ def run_offrl(args, cfg, cfg_train, logdir):
     trainer = OfflineTrainer(task=args.task, datatype=args.datatype, cfg=ocfg,
                              seed=cfg.get("seed", 0), log_dir=logdir)
     trainer.run(args.max_iterations or None)
+    # close the loop: report the offline policy's live-env reward
+    from massive_marl_tpu.utils.registry import build_env
+    env = build_env(args.task, cfg, multi_agent=False)
+    print(f"[{algo}] online eval mean reward/step:",
+          trainer.eval_online(env, num_envs=64, n_steps=1000))
     return trainer

@@ -367,6 +367,53 @@ class OfflineTrainer:
             writer.flush()
         return self.state
 
+    def eval_online(self, env, num_envs: int = 64, n_steps: int = 1000):
+        """Roll the learned policy deterministically in the live env and return
+        mean reward/step (the reference never closes this loop; its offline
+        trainers only report losses).  Acting rules per algo: td3_bc/iql use
+        the tanh actor mean (td3_bc obs-normalized like its training data);
+        bcq samples 10 VAE candidates, perturbs, picks the argmax-Q1 action."""
+        from massive_marl_tpu.envs.base import batched_step
+        if self.state is None:
+            self.state = self.init_state()
+        c = self.cfg
+        p = self.state.params
+        normalize = hasattr(self, "obs_mean")
+        obs_mean = getattr(self, "obs_mean", None)
+        obs_std = getattr(self, "obs_std", None)
+
+        def act(o, key):
+            if normalize:
+                o = (o - obs_mean) / obs_std
+            if c.algo == "td3_bc":
+                return jnp.tanh(self.nets["actor"].apply(p["actor"], o))
+            if c.algo == "iql":
+                stats = self.nets["actor"].apply(p["actor"], o)
+                return jnp.tanh(stats[:, : self.act_dim])
+            reps = 10
+            orep = jnp.repeat(o, reps, axis=0)
+            z = jnp.clip(jax.random.normal(key, (orep.shape[0], self.latent_dim)),
+                         -0.5, 0.5)
+            cand = jnp.tanh(self.nets["vae_dec"].apply(p["vae_dec"], orep, z))
+            a = jnp.clip(cand + c.phi * jnp.tanh(
+                self.nets["pert"].apply(p["pert"], orep, cand)), -1, 1)
+            q = self.nets["q1"].apply(p["q1"], orep, a).squeeze(-1).reshape(-1, reps)
+            a = a.reshape(-1, reps, self.act_dim)
+            return a[jnp.arange(o.shape[0]), q.argmax(axis=1)]
+
+        def step(carry, _):
+            st, key = carry
+            key, k = jax.random.split(key)
+            obs = jnp.clip(st.obs, -5.0, 5.0)  # VecTask clip_obs, same as collect
+            ns = batched_step(env)(st, act(obs, k))
+            return (ns, key), ns.reward
+
+        key = jax.random.PRNGKey(self.seed + 1)
+        es = jax.jit(jax.vmap(env.reset))(jax.random.split(key, num_envs))
+        (_, _), rews = jax.jit(
+            lambda s, k: jax.lax.scan(step, (s, k), None, length=n_steps))(es, key)
+        return float(rews.mean())
+
     def save(self, path):
         from flax import serialization
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -140,3 +140,26 @@ def test_mat_cached_decode_matches_full():
     m_full, s_full = r.model.apply(ts.params, rep, prev, method=MatModel.decode)
     np.testing.assert_allclose(np.array(mean), np.array(m_full), atol=1e-4)
     np.testing.assert_allclose(np.array(std), np.array(s_full), atol=1e-6)
+
+
+@pytest.mark.parametrize("algo", ["td3_bc", "bcq", "iql"])
+def test_offline_eval_online(algo):
+    """eval_online rolls the learned policy in a live env and returns a finite
+    mean reward (closing the offline->online loop the reference leaves open)."""
+    from massive_marl_tpu.algos.offrl.trainers import OfflineConfig, OfflineTrainer
+    from tests.test_ppo import ToyEnv
+    rng = np.random.RandomState(1)
+    n = 256
+    data = dict(states=rng.randn(n, 3).astype(np.float32),
+                actions=rng.uniform(-1, 1, (n, 1)).astype(np.float32),
+                rewards=rng.randn(n, 1).astype(np.float32),
+                dones=(rng.rand(n, 1) < 0.1).astype(np.float32),
+                next_states=rng.randn(n, 3).astype(np.float32))
+    cfg = OfflineConfig(algo=algo, batch_size=32, hidden=16, layers=2,
+                        log_interval=100, save_interval=0)
+    t = OfflineTrainer(task="X", datatype="y", cfg=cfg, seed=0, data=data,
+                       print_log=False)
+    t.state = t.init_state()
+    t.state, _ = t._train_step(t.state)
+    r = t.eval_online(ToyEnv(), num_envs=4, n_steps=16)
+    assert np.isfinite(r)
