@@ -57,13 +57,16 @@ def train(args=None):
     cfg, cfg_train, logdir = cfg_mod.load_cfg(args)
     num_envs = cfg["env"]["numEnvs"]
     algo = args.algo
+    # reference semantics: --test implies play; --play alone also disables
+    # training (reference config.py:288-294)
+    args.test = bool(args.test or getattr(args, "play", False))
 
     if algo in cfg_mod.MARL_ALGOS:
         env = build_env(args.task, cfg, multi_agent=True)
         if algo == "mat":
             from massive_marl_tpu.algos.marl.mat import MatConfig, MatRunner
-            learn = cfg_train if isinstance(cfg_train, dict) else {}
-            runner = MatRunner(env, num_envs=num_envs, cfg=MatConfig(),
+            mat_cfg = MatConfig.from_cfg_train(cfg_train if isinstance(cfg_train, dict) else {})
+            runner = MatRunner(env, num_envs=num_envs, cfg=mat_cfg,
                                seed=cfg.get("seed", 0), log_dir=logdir)
         elif algo == "maddpg":
             from massive_marl_tpu.algos.marl.maddpg import MaddpgRunner, MaddpgConfig
