@@ -60,6 +60,13 @@ def train(args=None):
     # reference semantics: --test implies play; --play alone also disables
     # training (reference config.py:288-294)
     args.test = bool(args.test or getattr(args, "play", False))
+    # --resume N: resume from the latest checkpoint (reference --resume flag)
+    if getattr(args, "resume", 0) > 0 and not args.model_dir:
+        args.model_dir = "latest"
+    # benchmark mode (the reference's dormant --random_actions/--bench_* flags,
+    # config.py:266-272): time random-action env stepping, write JSON, exit
+    if getattr(args, "random_actions", False):
+        return _bench_random_actions(args, cfg, num_envs, logdir)
 
     if algo in cfg_mod.MARL_ALGOS:
         env = build_env(args.task, cfg, multi_agent=True)
@@ -144,6 +151,52 @@ def train(args=None):
         return run_offrl(args, cfg, cfg_train, logdir)
 
     raise ValueError(f"unknown algo {algo}")
+
+
+def _bench_random_actions(args, cfg, num_envs, logdir):
+    """Random-action env-throughput benchmark (implements the reference's
+    dormant --random_actions/--bench_len/--bench_file flags, config.py:266-272).
+    Prints and optionally appends one JSON line per report."""
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    env = build_env(args.task, cfg, multi_agent=False)
+    key = jax.random.PRNGKey(cfg.get("seed", 0))
+    st = jax.jit(jax.vmap(env.reset))(jax.random.split(key, num_envs))
+    act_dim = env.num_actions * env.num_agents
+    steps_per_chunk = 256
+
+    def chunk(st, key):
+        def body(carry, _):
+            s, k = carry
+            k, ka = jax.random.split(k)
+            a = jax.random.uniform(ka, (num_envs, act_dim), minval=-1.0, maxval=1.0)
+            s = jax.vmap(env.step)(s, a)
+            return (s, k), None
+        (st, key), _ = jax.lax.scan(body, (st, key), None, length=steps_per_chunk)
+        return st, key
+
+    chunk = jax.jit(chunk, donate_argnums=(0,))
+    st, key = chunk(st, key)  # compile
+    jax.block_until_ready(st.obs)
+    results = []
+    for i in range(args.bench_len):
+        t0 = time.perf_counter()
+        st, key = chunk(st, key)
+        jax.block_until_ready(st.obs)
+        dt = time.perf_counter() - t0
+        rec = {"report": i, "env_steps_per_s": num_envs * steps_per_chunk / dt,
+               "num_envs": num_envs, "task": args.task}
+        print(json.dumps(rec))
+        results.append(rec)
+    if args.bench_file:
+        with open(args.bench_file, "a") as f:
+            for rec in results:
+                f.write(json.dumps(rec) + "\n")
+    return results
 
 
 def _load_env_cfg(task):

@@ -41,18 +41,69 @@ def get_args(argv=None):
     p.add_argument("--play", action="store_true")
     p.add_argument("--model_dir", type=str, default="")
     p.add_argument("--logdir", type=str, default="")
-    p.add_argument("--experiment_name", type=str, default="Base")
+    p.add_argument("--experiment", "--experiment_name", dest="experiment",
+                   type=str, default="Base",
+                   help="experiment name; with --metadata, task-type/device/"
+                        "engine info is appended (reference config.py:236-240)")
+    p.add_argument("--metadata", action="store_true")
     p.add_argument("--cfg_train", type=str, default="")
     p.add_argument("--cfg_env", type=str, default="")
     p.add_argument("--randomize", action="store_true", help="enable domain randomization")
     p.add_argument("--datatype", type=str, default="expert",
                    help="offline RL dataset flavor (process_offrl.py:40-44)")
-    return p.parse_args(argv)
+    # --- reference flag-surface parity (config.py:216-321) ---
+    p.add_argument("--task_type", type=str, default="Python",
+                   help="accepted for parity; the wrapper flavor is inferred from --algo")
+    p.add_argument("--rl_device", type=str, default="tpu",
+                   help="'cpu' forces JAX_PLATFORMS=cpu; anything else uses the default backend")
+    p.add_argument("--headless", action="store_true",
+                   help="accepted for parity; there is no interactive viewer on the hot path")
+    p.add_argument("--horovod", action="store_true",
+                   help="rejected like the reference (config.py:299-300); use the jax mesh")
+    p.add_argument("--torch_deterministic", action="store_true",
+                   help="accepted for parity; jit purity + fixed PRNG keys are deterministic by construction")
+    p.add_argument("--resume", type=int, default=0,
+                   help=">0 resumes from the latest checkpoint in the logdir (reference --resume)")
+    p.add_argument("--checkpoint", type=str, default="Base",
+                   help="rl_games-style load path; rejected on the native path like the reference (config.py:305-306)")
+    p.add_argument("--minibatch_size", type=int, default=-1,
+                   help="rl_games-style minibatch override (train_rlgames.py path)")
+    p.add_argument("--steps_num", type=int, default=-1,
+                   help="rl_games-style horizon override (train_rlgames.py path)")
+    p.add_argument("--num_proc", type=int, default=1,
+                   help="accepted for parity; envs are jitted on-device, no worker processes")
+    p.add_argument("--random_actions", action="store_true",
+                   help="benchmark mode: run random actions instead of a policy")
+    p.add_argument("--bench_len", type=int, default=10,
+                   help="number of timing reports in benchmark mode")
+    p.add_argument("--bench_file", type=str, default="",
+                   help="file to append benchmark JSON results to")
+    args = p.parse_args(argv)
+    if args.horovod:
+        raise SystemExit("Distributed training with Horovod is not supported; "
+                         "use the jax.sharding mesh (massive_marl_tpu.parallel.mesh).")
+    if args.checkpoint != "Base":
+        raise SystemExit("--checkpoint is not supported on the native path. "
+                         "Please use --resume or --model_dir (reference config.py:305-306).")
+    if args.rl_device == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    return args
 
 
 def retrieve_cfg(args):
     """task/algo -> (logdir, cfg_train path, cfg_env path) (config.py:62-87)."""
     logdir = args.logdir or os.path.join(REPO_ROOT, "logs", args.task.lower(), args.algo)
+    # experiment / metadata logdir suffix (reference config.py:167-174)
+    exp = getattr(args, "experiment", "Base")
+    if exp != "Base":
+        if getattr(args, "metadata", False):
+            import jax
+            device = jax.default_backend()
+            logdir += f"_{exp}_{getattr(args, 'task_type', 'Python')}_{device}_jaxphys"
+            if getattr(args, "randomize", False):
+                logdir += "_DR"
+        else:
+            logdir += f"_{exp}"
     cfg_train = args.cfg_train or os.path.join(CFG_ROOT, args.algo, "config.yaml")
     cfg_env = args.cfg_env or os.path.join(CFG_ROOT, f"{args.task}.yaml")
     return logdir, cfg_train, cfg_env
