@@ -144,13 +144,17 @@ class MaddpgRunner:
             k, jnp.zeros((1, self.share_dim)), jnp.zeros((1, self.N * self.act_dim))))(
             jax.random.split(kc, self.N))
         E, R = self.num_envs, c.replay_size
+        # bf16 ring: at R=10k, E=128 on TenAnt the f32 version is ~9 GB of HBM
+        # (obs+share+next_* dominate) and OOMs once the update working set is
+        # added; obs are clipped +-clip_obs so bf16 precision is ample
+        bf = jnp.bfloat16
         replay = MaddpgReplay(
-            obs=jnp.zeros((R, E, self.N, self.obs_dim)),
-            share=jnp.zeros((R, E, self.share_dim)),
-            actions=jnp.zeros((R, E, self.N, self.act_dim)),
+            obs=jnp.zeros((R, E, self.N, self.obs_dim), bf),
+            share=jnp.zeros((R, E, self.share_dim), bf),
+            actions=jnp.zeros((R, E, self.N, self.act_dim), bf),
             rewards=jnp.zeros((R, E)),
-            next_obs=jnp.zeros((R, E, self.N, self.obs_dim)),
-            next_share=jnp.zeros((R, E, self.share_dim)),
+            next_obs=jnp.zeros((R, E, self.N, self.obs_dim), bf),
+            next_share=jnp.zeros((R, E, self.share_dim), bf),
             dones=jnp.zeros((R, E)),
             ptr=jnp.asarray(0, jnp.int32), count=jnp.asarray(0, jnp.int32))
         env_state = jax.jit(jax.vmap(self.env.reset))(jax.random.split(ke, E))
@@ -181,11 +185,12 @@ class MaddpgRunner:
             (ap, cp, ta, tc, ao, co) = ts_tuple
             key, k_idx = jax.random.split(key)
             idx = jax.random.randint(k_idx, (B,), 0, jnp.maximum(replay.count, 1))
-            share = replay.share[idx].reshape(B * E, -1)
-            nshare = replay.next_share[idx].reshape(B * E, -1)
-            obs = replay.obs[idx].reshape(B * E, N, -1)
-            nobs = replay.next_obs[idx].reshape(B * E, N, -1)
-            acts = replay.actions[idx].reshape(B * E, N, -1)
+            f32 = jnp.float32
+            share = replay.share[idx].reshape(B * E, -1).astype(f32)
+            nshare = replay.next_share[idx].reshape(B * E, -1).astype(f32)
+            obs = replay.obs[idx].reshape(B * E, N, -1).astype(f32)
+            nobs = replay.next_obs[idx].reshape(B * E, N, -1).astype(f32)
+            acts = replay.actions[idx].reshape(B * E, N, -1).astype(f32)
             rews = replay.rewards[idx].reshape(B * E)
             dones = replay.dones[idx].reshape(B * E)
 
@@ -240,13 +245,14 @@ class MaddpgRunner:
             ns = batched_step(env)(env_state, a.reshape(E, -1))
             nobs_buf = jnp.clip(ns.obs, -c.clip_obs, c.clip_obs)
             nobs, nshare = self._views(nobs_buf)
+            bf = jnp.bfloat16
             replay = replay.replace(
-                obs=replay.obs.at[replay.ptr].set(obs),
-                share=replay.share.at[replay.ptr].set(share),
-                actions=replay.actions.at[replay.ptr].set(a),
+                obs=replay.obs.at[replay.ptr].set(obs.astype(bf)),
+                share=replay.share.at[replay.ptr].set(share.astype(bf)),
+                actions=replay.actions.at[replay.ptr].set(a.astype(bf)),
                 rewards=replay.rewards.at[replay.ptr].set(ns.reward),
-                next_obs=replay.next_obs.at[replay.ptr].set(nobs),
-                next_share=replay.next_share.at[replay.ptr].set(nshare),
+                next_obs=replay.next_obs.at[replay.ptr].set(nobs.astype(bf)),
+                next_share=replay.next_share.at[replay.ptr].set(nshare.astype(bf)),
                 dones=replay.dones.at[replay.ptr].set(ns.done.astype(jnp.float32)),
                 ptr=(replay.ptr + 1) % R, count=jnp.minimum(replay.count + 1, R))
             closs = jnp.asarray(0.0)

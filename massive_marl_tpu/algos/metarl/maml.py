@@ -152,6 +152,7 @@ class MAMLPPO:
             _, adv = jax.lax.scan(back, jnp.zeros(E),
                                   (traj["reward"], traj["done"], traj["value"], nv),
                                   reverse=True)
+            adv = jax.lax.stop_gradient(adv)  # targets are data, not a grad path
             returns = adv + traj["value"]
             adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
 
@@ -164,10 +165,16 @@ class MAMLPPO:
             return surr + vloss
 
         def per_task(params, env_state, key, task_param):
-            # support rollout + inner adaptation (maml.py sample_support/adapt)
+            # support rollout + inner adaptation (maml.py sample_support/adapt).
+            # Rollouts sample with STOP-GRADIENT params: trajectories are data,
+            # not a differentiable path through the simulator (the reference's
+            # MAML likewise detaches sampling; and the fused Pallas physics has
+            # no VJP).  Second-order meta-gradients still flow exactly through
+            # the inner jax.grad(pg_loss) below.
             def adapt_once(p, carry):
                 env_state, key = carry
-                env_state, key, traj = rollout(p, env_state, key, c.support_steps)
+                env_state, key, traj = rollout(
+                    jax.lax.stop_gradient(p), env_state, key, c.support_steps)
                 last = jnp.clip(env_state.obs, -c.clip_obs, c.clip_obs)
                 g = jax.grad(pg_loss)(p, traj, last)
                 p2 = jax.tree_util.tree_map(lambda w, gw: w - c.inner_lr * gw, p, g)
@@ -179,7 +186,8 @@ class MAMLPPO:
                 adapted, carry = adapt_once(adapted, carry)
             env_state, key = carry
             # query rollout with adapted params (meta objective)
-            env_state, key, qtraj = rollout(adapted, env_state, key, c.query_steps)
+            env_state, key, qtraj = rollout(
+                jax.lax.stop_gradient(adapted), env_state, key, c.query_steps)
             last = jnp.clip(env_state.obs, -c.clip_obs, c.clip_obs)
             meta_loss = pg_loss(adapted, qtraj, last)
             return meta_loss, (env_state, key, qtraj["reward"].mean())

@@ -205,7 +205,8 @@ class MTPPO:
                     writer.add_scalar("train/value_loss", float(vloss), it)
                 if self.print_log:
                     rews = " ".join(f"{t}:{r:.2f}" for t, r in task_rewards.items())
-                    print(f"[mtppo] it {it}: {rews} ({time.time() - t0:.2f}s)")
+                    tag = type(self).__name__.lower()
+                    print(f"[{tag}] it {it}: {rews} ({time.time() - t0:.2f}s)")
             if self.log_dir and self.cfg.save_interval and (it + 1) % self.cfg.save_interval == 0:
                 self.save(os.path.join(self.log_dir, f"model_{it + 1}.ckpt"))
         if writer:

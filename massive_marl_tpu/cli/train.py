@@ -97,8 +97,14 @@ def train(args=None):
         if args.test:
             print("eval mean reward:", runner.eval(1000))
             return runner
-        steps = args.num_env_steps or None
-        runner.run(steps)
+        if algo == "maddpg":
+            # off-policy runner counts iterations, not env steps
+            runner.run(args.max_iterations or None)
+        else:
+            steps = args.num_env_steps or None
+            if steps is None and args.max_iterations > 0:
+                steps = args.max_iterations * runner.cfg.episode_length * num_envs
+            runner.run(steps)
         return runner
 
     if algo in cfg_mod.SARL_ALGOS:
