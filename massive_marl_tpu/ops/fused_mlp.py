@@ -243,6 +243,269 @@ dense_elu_ln.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
+# whole-tower fusion: all L layers of the MLPBase in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# The per-layer kernel above still pays HBM for every inter-layer boundary
+# (write y_l, read it back as x_{l+1}) and for the per-layer residuals
+# (write a_l in fwd, read it in bwd).  For the 3-layer 512-hidden tower at
+# B=327,680 that is ~4.7 GB of avoidable traffic per grad step.  The tower
+# kernels below keep the whole layer chain in VMEM per row block:
+#   * fwd writes ONLY the final y - no residuals at all,
+#   * bwd RECOMPUTES the forward in-register (activations stay f32 in VMEM,
+#     strictly more accurate than the bf16 residuals of the per-layer path)
+#     and runs the full backward chain, accumulating per-agent weight grads
+#     across row blocks,
+#   * dx is optional (need_dx=False): PPO updates never differentiate w.r.t.
+#     observations, so the [B,Din] dx write and its dh@W^T matmul for layer 0
+#     are skipped (layer 0 still computes dx_raw when the feature-LN needs
+#     dgamma0/dbeta0).
+
+
+def _tower_fwd_kernel(L: int):
+    def kernel(*refs):
+        x_ref, g0_ref, b0_ref = refs[0:3]
+        ws = refs[3:3 + L]
+        bs = refs[3 + L:3 + 2 * L]
+        gs = refs[3 + 2 * L:3 + 3 * L]
+        bes = refs[3 + 3 * L:3 + 4 * L]
+        y_ref = refs[3 + 4 * L]
+        h = (x_ref[0].astype(jnp.float32) * g0_ref[0].astype(jnp.float32)
+             + b0_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+        for l in range(L):
+            hp = jnp.dot(h, ws[l][0], preferred_element_type=jnp.float32) \
+                + bs[l][0].astype(jnp.float32)
+            a = jnp.where(hp > 0, hp, jnp.exp(hp) - 1.0)
+            mu = jnp.mean(a, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(a - mu), axis=-1, keepdims=True)
+            yhat = (a - mu) * jax.lax.rsqrt(var + _EPS)
+            y = yhat * gs[l][0].astype(jnp.float32) + bes[l][0].astype(jnp.float32)
+            h = y.astype(jnp.bfloat16)
+        y_ref[0] = h
+    return kernel
+
+
+def _tower_bwd_kernel(L: int, need_dx: bool):
+    def kernel(*refs):
+        dy_ref, x_ref, g0_ref, b0_ref = refs[0:4]
+        ws = refs[4:4 + L]
+        bs = refs[4 + L:4 + 2 * L]
+        gs = refs[4 + 2 * L:4 + 3 * L]
+        bes = refs[4 + 3 * L:4 + 4 * L]
+        o = 4 + 4 * L
+        dx_ref = refs[o] if need_dx else None
+        o += 1 if need_dx else 0
+        dw_refs = refs[o:o + L]
+        db_refs = refs[o + L:o + 2 * L]
+        dg_refs = refs[o + 2 * L:o + 3 * L]
+        dbe_refs = refs[o + 3 * L:o + 4 * L]
+        dg0_ref, db0_ref = refs[o + 4 * L:o + 4 * L + 2]
+
+        i = pl.program_id(1)
+        xhat = x_ref[0]                               # [BM, Din] bf16 pre-norm
+        g0 = g0_ref[0].astype(jnp.float32)
+        x0 = (xhat.astype(jnp.float32) * g0
+              + b0_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+
+        # forward recompute, keeping per-layer inputs (bf16) + activations (f32)
+        xs, acts = [x0], []
+        h = x0
+        for l in range(L):
+            hp = jnp.dot(h, ws[l][0], preferred_element_type=jnp.float32) \
+                + bs[l][0].astype(jnp.float32)
+            a = jnp.where(hp > 0, hp, jnp.exp(hp) - 1.0)
+            acts.append(a)
+            mu = jnp.mean(a, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(a - mu), axis=-1, keepdims=True)
+            yhat = (a - mu) * jax.lax.rsqrt(var + _EPS)
+            y = yhat * gs[l][0].astype(jnp.float32) + bes[l][0].astype(jnp.float32)
+            h = y.astype(jnp.bfloat16)
+            if l < L - 1:
+                xs.append(h)
+
+        # backward chain, all in VMEM
+        dy = dy_ref[0].astype(jnp.float32)
+        dx_raw = None
+        for l in reversed(range(L)):
+            a = acts[l]
+            mu = jnp.mean(a, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(a - mu), axis=-1, keepdims=True)
+            inv = jax.lax.rsqrt(var + _EPS)
+            yhat = (a - mu) * inv
+            g = gs[l][0].astype(jnp.float32)
+            dyh = dy * g
+            m1 = jnp.mean(dyh, axis=-1, keepdims=True)
+            m2 = jnp.mean(dyh * yhat, axis=-1, keepdims=True)
+            da = (dyh - m1 - yhat * m2) * inv
+            dh = da * jnp.where(a > 0, 1.0, a + 1.0)
+            dh16 = dh.astype(jnp.bfloat16)
+
+            dw_blk = jax.lax.dot_general(
+                xs[l], dh16, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            db_blk = jnp.sum(dh, axis=0, keepdims=True)
+            dg_blk = jnp.sum(dy * yhat, axis=0, keepdims=True)
+            dbe_blk = jnp.sum(dy, axis=0, keepdims=True)
+
+            dwr, dbr, dgr, dber = dw_refs[l], db_refs[l], dg_refs[l], dbe_refs[l]
+
+            @pl.when(i == 0)
+            def _init(dwr=dwr, dbr=dbr, dgr=dgr, dber=dber, dw_blk=dw_blk,
+                      db_blk=db_blk, dg_blk=dg_blk, dbe_blk=dbe_blk):
+                dwr[0] = dw_blk
+                dbr[0] = db_blk
+                dgr[0] = dg_blk
+                dber[0] = dbe_blk
+
+            @pl.when(i > 0)
+            def _acc(dwr=dwr, dbr=dbr, dgr=dgr, dber=dber, dw_blk=dw_blk,
+                     db_blk=db_blk, dg_blk=dg_blk, dbe_blk=dbe_blk):
+                dwr[0] += dw_blk
+                dbr[0] += db_blk
+                dgr[0] += dg_blk
+                dber[0] += dbe_blk
+
+            if l > 0:
+                dy = jax.lax.dot_general(
+                    dh16, ws[l][0], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                # layer-0 dx only where the feature-LN grads (or dx) need it
+                dx_raw = jax.lax.dot_general(
+                    dh16, ws[0][0], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+        dg0_blk = jnp.sum(dx_raw * xhat.astype(jnp.float32), axis=0, keepdims=True)
+        db0_blk = jnp.sum(dx_raw, axis=0, keepdims=True)
+
+        @pl.when(i == 0)
+        def _init0():
+            dg0_ref[0] = dg0_blk
+            db0_ref[0] = db0_blk
+
+        @pl.when(i > 0)
+        def _acc0():
+            dg0_ref[0] += dg0_blk
+            db0_ref[0] += db0_blk
+
+        if need_dx:
+            dx_ref[0] = (dx_raw * g0).astype(dx_ref.dtype)
+    return kernel
+
+
+def _pick_tower_bm(B: int) -> int:
+    import os
+    forced = int(os.environ.get("FUSED_TOWER_BM", "0"))
+    if forced and B % forced == 0:
+        return forced
+    # smaller than the per-layer default: the tower holds L activations +
+    # L weight-grad accumulators in VMEM per row block
+    for bm in (512, 256, 128, 64, 32, 16, 8):
+        if B % bm == 0:
+            return bm
+    return 0
+
+
+def _tower_specs(N, B, Din, H, L, bm):
+    row = lambda d: pl.BlockSpec((1, bm, d), lambda n, i: (n, i, 0))
+    const = lambda s: pl.BlockSpec((1,) + s, lambda n, i: (n, 0, 0))
+    w_specs = [const((Din if l == 0 else H, H)) for l in range(L)]
+    vec_specs = [const((1, H)) for _ in range(L)]
+    return row, const, w_specs, vec_specs
+
+
+def _tower_fwd_call(x, g0, b0, ws, bs, gs, bes, bm: int, interpret: bool):
+    N, B, Din = x.shape
+    H = ws[0].shape[-1]
+    L = len(ws)
+    row, const, w_specs, vec_specs = _tower_specs(N, B, Din, H, L, bm)
+    ws16 = [w.astype(jnp.bfloat16) for w in ws]
+    y = pl.pallas_call(
+        _tower_fwd_kernel(L),
+        grid=(N, B // bm),
+        in_specs=[row(Din), const((1, Din)), const((1, Din))]
+        + w_specs + vec_specs + vec_specs + vec_specs,
+        out_specs=row(H),
+        out_shape=jax.ShapeDtypeStruct((N, B, H), jnp.bfloat16),
+        interpret=interpret,
+    )(x, g0[:, None, :], b0[:, None, :], *ws16,
+      *[b[:, None, :] for b in bs], *[g[:, None, :] for g in gs],
+      *[be[:, None, :] for be in bes])
+    return y
+
+
+def _tower_bwd_call(dy, x, g0, b0, ws, bs, gs, bes, bm: int, interpret: bool,
+                    need_dx: bool):
+    N, B, Din = x.shape
+    H = ws[0].shape[-1]
+    L = len(ws)
+    row, const, w_specs, vec_specs = _tower_specs(N, B, Din, H, L, bm)
+    ws16 = [w.astype(jnp.bfloat16) for w in ws]
+    out_specs = ([row(Din)] if need_dx else []) \
+        + w_specs + vec_specs + vec_specs + vec_specs \
+        + [const((1, Din)), const((1, Din))]
+    out_shape = ([jax.ShapeDtypeStruct((N, B, Din), jnp.bfloat16)] if need_dx else []) \
+        + [jax.ShapeDtypeStruct((N, Din if l == 0 else H, H), jnp.float32)
+           for l in range(L)] \
+        + [jax.ShapeDtypeStruct((N, 1, H), jnp.float32)] * (3 * L) \
+        + [jax.ShapeDtypeStruct((N, 1, Din), jnp.float32)] * 2
+    outs = pl.pallas_call(
+        _tower_bwd_kernel(L, need_dx),
+        grid=(N, B // bm),
+        in_specs=[row(H), row(Din), const((1, Din)), const((1, Din))]
+        + w_specs + vec_specs + vec_specs + vec_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(dy, x, g0[:, None, :], b0[:, None, :], *ws16,
+      *[b[:, None, :] for b in bs], *[g[:, None, :] for g in gs],
+      *[be[:, None, :] for be in bes])
+    o = 0
+    dx = outs[0] if need_dx else None
+    o += 1 if need_dx else 0
+    dws = list(outs[o:o + L])
+    dbs = [t[:, 0, :] for t in outs[o + L:o + 2 * L]]
+    dgs = [t[:, 0, :] for t in outs[o + 2 * L:o + 3 * L]]
+    dbes = [t[:, 0, :] for t in outs[o + 3 * L:o + 4 * L]]
+    dg0 = outs[o + 4 * L][:, 0, :]
+    db0 = outs[o + 4 * L + 1][:, 0, :]
+    return dx, dws, dbs, dgs, dbes, dg0, db0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def mlp_tower(x, g0, b0, ws, bs, gs, bes, bm: int, interpret: bool,
+              need_dx: bool):
+    """Whole L-layer MLPBase tower, one fused kernel each way.
+
+    x [N,B,Din] bf16 pre-normalized features; g0/b0 [N,Din] feature-LN
+    learnables; ws/bs/gs/bes: length-L tuples of per-layer Dense kernel
+    [N,Din_l,H] (f32 masters), bias [N,H], LN scale/bias [N,H].  All hidden
+    widths equal H (128-multiple); Din 128-multiple; B % bm == 0.  With
+    need_dx=False the x cotangent is zeros (obs are data in PPO updates).
+    Returns y [N,B,H] bf16.
+    """
+    return _tower_fwd_call(x, g0, b0, ws, bs, gs, bes, bm, interpret)
+
+
+def _tower_vjp_fwd(x, g0, b0, ws, bs, gs, bes, bm, interpret, need_dx):
+    y = _tower_fwd_call(x, g0, b0, ws, bs, gs, bes, bm, interpret)
+    return y, (x, g0, b0, ws, bs, gs, bes)
+
+
+def _tower_vjp_bwd(bm, interpret, need_dx, res, dy):
+    x, g0, b0, ws, bs, gs, bes = res
+    dx, dws, dbs, dgs, dbes, dg0, db0 = _tower_bwd_call(
+        dy.astype(jnp.bfloat16), x, g0, b0, ws, bs, gs, bes, bm, interpret,
+        need_dx)
+    if dx is None:
+        dx = jnp.zeros_like(x)
+    return dx, dg0, db0, tuple(dws), tuple(dbs), tuple(dgs), tuple(dbes)
+
+
+mlp_tower.defvjp(_tower_vjp_fwd, _tower_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
 # MLPBase-equivalent stacked apply
 # ---------------------------------------------------------------------------
 
@@ -289,6 +552,34 @@ def mlp_base_stacked(params: dict, x: jnp.ndarray, layer_n: int = 2,
         x = feature_norm(x)
         prenormed = True
     h = x if prenormed else _pad_features(x).astype(jnp.bfloat16)
+
+    # whole-tower fused path: one kernel for all layers (fwd), one with
+    # in-register recompute (bwd) - see the tower section above
+    import os
+    if (use_feature_normalization and os.environ.get("FUSED_TOWER", "1") != "0"
+            and _pick_tower_bm(B) > 0):
+        L = 1 + layer_n
+        ws, bs, gs, bes = [], [], [], []
+        din0 = h.shape[-1]
+        for li in range(L):
+            w = params[f"Dense_{li}"]["kernel"]
+            if w.shape[1] % 128:
+                w = jnp.pad(w, [(0, 0), (0, (-w.shape[1]) % 128), (0, 0)])
+            ws.append(w)
+            bs.append(params[f"Dense_{li}"]["bias"])
+            ln = params[f"LayerNorm_{li + 1}"]
+            gs.append(ln["scale"])
+            bes.append(ln["bias"])
+        H = ws[0].shape[-1]
+        same_h = all(w.shape[-1] == H for w in ws) and \
+            all(w.shape[1] == H for w in ws[1:]) and ws[0].shape[1] == din0
+        if same_h and H % 128 == 0:
+            ln0 = params["LayerNorm_0"]
+            pad = din0 - ln0["scale"].shape[-1]
+            g0 = jnp.pad(ln0["scale"], [(0, 0), (0, pad)])
+            b0 = jnp.pad(ln0["bias"], [(0, 0), (0, pad)])
+            return mlp_tower(h, g0, b0, tuple(ws), tuple(bs), tuple(gs),
+                             tuple(bes), _pick_tower_bm(B), interpret, False)
 
     for li in range(1 + layer_n):
         w = params[f"Dense_{li}"]["kernel"]

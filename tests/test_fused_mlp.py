@@ -127,3 +127,86 @@ def test_critic_matches_flax():
     assert v_f.shape == (N, B)
     np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_ref),
                                rtol=0, atol=5e-2 * float(jnp.abs(v_ref).max()))
+
+
+def test_tower_matches_per_layer_kernels():
+    """Whole-tower kernel (one fused fwd, recompute bwd) vs chaining the
+    per-layer dense_elu_ln kernels: identical forward, grads within bf16
+    tolerance (the tower's f32 in-register recompute is the more accurate)."""
+    from massive_marl_tpu.ops import fused_mlp as FM
+
+    key = jax.random.PRNGKey(7)
+    n, b, din, h, L = 2, 64, 128, 128, 3
+    ks = jax.random.split(key, 16)
+    x = FM.feature_norm(jax.random.normal(ks[0], (n, b, din)))
+    g0 = jax.random.normal(ks[1], (n, din)) * 0.1 + 1.0
+    b0 = jax.random.normal(ks[2], (n, din)) * 0.1
+    ws = tuple(jax.random.normal(ks[3 + l], (n, din if l == 0 else h, h)) * 0.1
+               for l in range(L))
+    bs = tuple(jax.random.normal(ks[6 + l], (n, h)) * 0.1 for l in range(L))
+    gs = tuple(jax.random.normal(ks[9 + l], (n, h)) * 0.1 + 1.0 for l in range(L))
+    bes = tuple(jax.random.normal(ks[12 + l], (n, h)) * 0.1 for l in range(L))
+
+    def per_layer(args):
+        g0, b0, ws, bs, gs, bes = args
+        out = x
+        for l in range(L):
+            gg0 = g0 if l == 0 else jnp.ones((n, out.shape[-1]))
+            bb0 = b0 if l == 0 else jnp.zeros((n, out.shape[-1]))
+            out = FM.dense_elu_ln(out, ws[l], bs[l], gs[l], bes[l],
+                                  gg0, bb0, 32, True)
+        return out
+
+    def tower(args):
+        g0, b0, ws, bs, gs, bes = args
+        return FM.mlp_tower(x, g0, b0, ws, bs, gs, bes, 32, True, False)
+
+    args = (g0, b0, ws, bs, gs, bes)
+    y1, y2 = per_layer(args), tower(args)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    g1 = jax.grad(lambda a: (per_layer(a) ** 2).sum().astype(jnp.float32))(args)
+    g2 = jax.grad(lambda a: (tower(a) ** 2).sum().astype(jnp.float32))(args)
+    for (p1, path), p2 in zip(
+            zip(jax.tree_util.tree_leaves(g1),
+                [jax.tree_util.keystr(k) for k, _ in
+                 jax.tree_util.tree_flatten_with_path(g1)[0]]),
+            jax.tree_util.tree_leaves(g2)):
+        scale = max(1.0, float(np.abs(np.asarray(p1)).max()))
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                                   rtol=0, atol=5e-2 * scale, err_msg=path)
+
+
+def test_tower_need_dx_matches_per_layer_dx():
+    """need_dx=True returns the input cotangent (used when x is not data)."""
+    from massive_marl_tpu.ops import fused_mlp as FM
+
+    key = jax.random.PRNGKey(8)
+    n, b, din, h, L = 2, 32, 128, 128, 2
+    ks = jax.random.split(key, 16)
+    x = FM.feature_norm(jax.random.normal(ks[0], (n, b, din)))
+    g0 = jnp.ones((n, din))
+    b0 = jnp.zeros((n, din))
+    ws = tuple(jax.random.normal(ks[3 + l], (n, din if l == 0 else h, h)) * 0.1
+               for l in range(L))
+    bs = tuple(jnp.zeros((n, h)) for _ in range(L))
+    gs = tuple(jnp.ones((n, h)) for _ in range(L))
+    bes = tuple(jnp.zeros((n, h)) for _ in range(L))
+
+    def per_layer(xx):
+        out = xx
+        for l in range(L):
+            out = FM.dense_elu_ln(out, ws[l], bs[l], gs[l], bes[l],
+                                  jnp.ones((n, out.shape[-1])),
+                                  jnp.zeros((n, out.shape[-1])), 32, True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def tower(xx):
+        y = FM.mlp_tower(xx, g0, b0, ws, bs, gs, bes, 32, True, True)
+        return (y.astype(jnp.float32) ** 2).sum()
+
+    dx1 = jax.grad(per_layer)(x.astype(jnp.float32))
+    dx2 = jax.grad(tower)(x.astype(jnp.float32))
+    scale = max(1.0, float(np.abs(np.asarray(dx1)).max()))
+    np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx1),
+                               rtol=0, atol=5e-2 * scale)
