@@ -307,27 +307,30 @@ def _tower_bwd_kernel(L: int, need_dx: bool):
         x0 = (xhat.astype(jnp.float32) * g0
               + b0_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
 
-        # forward recompute, keeping per-layer inputs (bf16) + activations (f32)
+        # forward recompute, keeping per-layer inputs + activations bf16 in
+        # VMEM (halves the live set vs f32; matches the per-layer kernel's
+        # bf16-residual rounding)
         xs, acts = [x0], []
         h = x0
         for l in range(L):
             hp = jnp.dot(h, ws[l][0], preferred_element_type=jnp.float32) \
                 + bs[l][0].astype(jnp.float32)
             a = jnp.where(hp > 0, hp, jnp.exp(hp) - 1.0)
-            acts.append(a)
-            mu = jnp.mean(a, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(a - mu), axis=-1, keepdims=True)
-            yhat = (a - mu) * jax.lax.rsqrt(var + _EPS)
-            y = yhat * gs[l][0].astype(jnp.float32) + bes[l][0].astype(jnp.float32)
-            h = y.astype(jnp.bfloat16)
-            if l < L - 1:
+            acts.append(a.astype(jnp.bfloat16))
+            if l < L - 1:  # last layer's LN output is never needed in bwd
+                mu = jnp.mean(a, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(a - mu), axis=-1, keepdims=True)
+                yhat = (a - mu) * jax.lax.rsqrt(var + _EPS)
+                y = yhat * gs[l][0].astype(jnp.float32) \
+                    + bes[l][0].astype(jnp.float32)
+                h = y.astype(jnp.bfloat16)
                 xs.append(h)
 
         # backward chain, all in VMEM
         dy = dy_ref[0].astype(jnp.float32)
         dx_raw = None
         for l in reversed(range(L)):
-            a = acts[l]
+            a = acts[l].astype(jnp.float32)
             mu = jnp.mean(a, axis=-1, keepdims=True)
             var = jnp.mean(jnp.square(a - mu), axis=-1, keepdims=True)
             inv = jax.lax.rsqrt(var + _EPS)
@@ -554,9 +557,15 @@ def mlp_base_stacked(params: dict, x: jnp.ndarray, layer_n: int = 2,
     h = x if prenormed else _pad_features(x).astype(jnp.bfloat16)
 
     # whole-tower fused path: one kernel for all layers (fwd), one with
-    # in-register recompute (bwd) - see the tower section above
+    # in-register recompute (bwd) - see the tower section above.  OFF by
+    # default: on v5e the 16 MB scoped-VMEM limit caps the tower at bm=512
+    # (bm=1024 needs 17.2 MB), and at bm=512 the shorter pipeline loses to
+    # the per-layer bm=1024 kernels (measured 179.0 vs 167.0 ms per MAPPO
+    # iteration at E=4096) - the HBM traffic it saves is outweighed by the
+    # reduced prefetch overlap.  FUSED_TOWER=1 opts in (future chips with
+    # larger VMEM may flip the verdict).
     import os
-    if (use_feature_normalization and os.environ.get("FUSED_TOWER", "1") != "0"
+    if (use_feature_normalization and os.environ.get("FUSED_TOWER", "0") == "1"
             and _pick_tower_bm(B) > 0):
         L = 1 + layer_n
         ws, bs, gs, bes = [], [], [], []

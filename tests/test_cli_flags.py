@@ -51,3 +51,19 @@ def test_mat_config_from_cfg_train():
         cfg = yaml.safe_load(f)
     c = MatConfig.from_cfg_train(cfg)
     assert c.lr == 5e-4 and c.embed == 64 and c.max_grad_norm == 10.0
+
+
+def test_random_actions_bench_mode(tmp_path):
+    """--random_actions runs the env-throughput benchmark and writes JSON
+    (the reference's dormant --bench_* flags, config.py:266-272)."""
+    import json
+    from massive_marl_tpu.cli.train import train
+    bf = tmp_path / "bench.jsonl"
+    args = cfg_mod.get_args([
+        "--task", "OneAnt", "--algo", "ppo", "--num_envs", "4",
+        "--seed", "0", "--random_actions", "--bench_len", "2",
+        "--bench_file", str(bf), "--logdir", str(tmp_path / "logs")])
+    results = train(args)
+    assert len(results) == 2
+    lines = [json.loads(l) for l in bf.read_text().splitlines()]
+    assert lines[0]["num_envs"] == 4 and lines[0]["env_steps_per_s"] > 0
