@@ -180,12 +180,12 @@ class MatConfig:
     @classmethod
     def from_cfg_train(cls, cfg_train: dict) -> "MatConfig":
         """Build from cfg/mat/config.yaml (reference-style two-yaml convention)."""
+        cfg_train = cfg_train if isinstance(cfg_train, dict) else {}
         fields = ("episode_length", "num_env_steps", "gamma", "gae_lambda",
                   "clip_param", "ppo_epoch", "value_loss_coef", "entropy_coef",
                   "max_grad_norm", "lr", "embed", "blocks", "heads",
                   "save_interval")
-        kw = {k: cfg_train[k] for k in fields
-              if isinstance(cfg_train, dict) and cfg_train.get(k) is not None}
+        kw = {k: cfg_train[k] for k in fields if cfg_train.get(k) is not None}
         for f in ("gamma", "gae_lambda", "clip_param", "value_loss_coef",
                   "entropy_coef", "max_grad_norm", "lr"):
             if f in kw:

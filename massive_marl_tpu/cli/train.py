@@ -93,7 +93,11 @@ def train(args=None):
         if args.model_dir:
             path = (cfg_mod.latest_checkpoint(logdir) if args.model_dir == "latest"
                     else args.model_dir)
-            runner.restore(path)
+            if path is None:
+                print(f"no checkpoint found under {logdir}; starting fresh "
+                      "(pass a fixed --seed so --resume finds the prior run's logdir)")
+            else:
+                runner.restore(path)
         if args.test:
             print("eval mean reward:", runner.eval(1000))
             return runner
@@ -113,7 +117,11 @@ def train(args=None):
         if args.model_dir:
             path = (cfg_mod.latest_checkpoint(logdir) if args.model_dir == "latest"
                     else args.model_dir)
-            trainer.load(path)
+            if path is None:
+                print(f"no checkpoint found under {logdir}; starting fresh "
+                      "(pass a fixed --seed so --resume finds the prior run's logdir)")
+            else:
+                trainer.load(path)
         if args.test:
             print("eval mean reward/step:", evaluate_sarl(trainer, env, num_envs))
             return trainer

@@ -564,9 +564,14 @@ def mlp_base_stacked(params: dict, x: jnp.ndarray, layer_n: int = 2,
     # iteration at E=4096) - the HBM traffic it saves is outweighed by the
     # reduced prefetch overlap.  FUSED_TOWER=1 opts in (future chips with
     # larger VMEM may flip the verdict).
+    # NOTE: the tower path hardcodes need_dx=False - the x cotangent is
+    # zeros.  Fine for the MARL update (obs are data), wrong for any caller
+    # differentiating through the input; such callers must keep FUSED_TOWER
+    # off or call mlp_tower(..., need_dx=True) directly.
     import os
+    tower_bm = _pick_tower_bm(B)
     if (use_feature_normalization and os.environ.get("FUSED_TOWER", "0") == "1"
-            and _pick_tower_bm(B) > 0):
+            and tower_bm > 0):
         L = 1 + layer_n
         ws, bs, gs, bes = [], [], [], []
         din0 = h.shape[-1]
@@ -588,7 +593,7 @@ def mlp_base_stacked(params: dict, x: jnp.ndarray, layer_n: int = 2,
             g0 = jnp.pad(ln0["scale"], [(0, 0), (0, pad)])
             b0 = jnp.pad(ln0["bias"], [(0, 0), (0, pad)])
             return mlp_tower(h, g0, b0, tuple(ws), tuple(bs), tuple(gs),
-                             tuple(bes), _pick_tower_bm(B), interpret, False)
+                             tuple(bes), tower_bm, interpret, False)
 
     for li in range(1 + layer_n):
         w = params[f"Dense_{li}"]["kernel"]

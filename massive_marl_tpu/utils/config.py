@@ -86,7 +86,14 @@ def get_args(argv=None):
         raise SystemExit("--checkpoint is not supported on the native path. "
                          "Please use --resume or --model_dir (reference config.py:305-306).")
     if args.rl_device == "cpu":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import sys
+        if os.environ.get("JAX_PLATFORMS") not in (None, "", "cpu"):
+            print(f"warning: --rl_device cpu overriding JAX_PLATFORMS="
+                  f"{os.environ['JAX_PLATFORMS']}")
+        if "jax" in sys.modules:
+            print("warning: --rl_device cpu set after jax import; backend "
+                  "may already be initialized")
+        os.environ["JAX_PLATFORMS"] = "cpu"
     return args
 
 
