@@ -103,3 +103,22 @@ def test_trpo_iteration_runs():
     import numpy as np
     assert np.isfinite(float(m["mean_reward"]))
     assert np.isfinite(float(m["value_loss"]))
+
+
+@pytest.mark.slow
+def test_trpo_learns_toy():
+    """TRPO (CG + line search) improves on the toy task - guards the
+    natural-gradient direction/sign and the KL-constrained line search."""
+    from massive_marl_tpu.algos.rl.trpo import TRPO, TRPOConfig
+    cfg = TRPOConfig(nsteps=16, hidden=(32, 32), gamma=0.95, lam=0.95,
+                     max_kl=0.016, max_iterations=60, save_interval=0)
+    t = TRPO(ToyEnv(), num_envs=64, cfg=cfg, seed=0, print_log=False)
+    t.state = t.init_state()
+    rewards = []
+    for _ in range(60):
+        t.state, metrics = t._train_iter(t.state)
+        rewards.append(float(metrics["mean_reward"]))
+    early = np.mean(rewards[:5])
+    late = np.mean(rewards[-5:])
+    assert np.isfinite(rewards).all()
+    assert late > early + 0.2, (early, late)
