@@ -210,11 +210,15 @@ class OffPolicy:
         q_params = {k: params[k] for k in params if k.startswith("q")}
         opt_q = self.tx_q.init(q_params)
         E, R = self.num_envs, cfg.replay_size
+        # bf16 HBM ring (same rationale as the MADDPG buffer): on TenAnt
+        # (obs 388) the f32 version is ~4.5 GB at R=10k/E=128 and scales
+        # linearly with E; obs are clipped so bf16 precision is ample
+        bf = jnp.bfloat16
         replay = Replay(
-            obs=jnp.zeros((R, E, self.obs_dim)),
-            actions=jnp.zeros((R, E, self.act_dim)),
+            obs=jnp.zeros((R, E, self.obs_dim), bf),
+            actions=jnp.zeros((R, E, self.act_dim), bf),
             rewards=jnp.zeros((R, E)),
-            next_obs=jnp.zeros((R, E, self.obs_dim)),
+            next_obs=jnp.zeros((R, E, self.obs_dim), bf),
             dones=jnp.zeros((R, E)),
             ptr=jnp.asarray(0, jnp.int32), count=jnp.asarray(0, jnp.int32))
         env_state = jax.jit(jax.vmap(self.env.reset))(jax.random.split(kenv, E))
@@ -287,11 +291,12 @@ class OffPolicy:
         def grad_update(params, target_params, opt_pi, opt_q, replay, key, upd_count):
             key, k_idx, k_q, k_pi = jax.random.split(key, 4)
             idx = jax.random.randint(k_idx, (B,), 0, jnp.maximum(replay.count, 1))
+            f32 = jnp.float32
             batch = dict(
-                obs=replay.obs[idx].reshape(B * E, -1),
-                actions=replay.actions[idx].reshape(B * E, -1),
+                obs=replay.obs[idx].reshape(B * E, -1).astype(f32),
+                actions=replay.actions[idx].reshape(B * E, -1).astype(f32),
                 rewards=replay.rewards[idx].reshape(B * E),
-                next_obs=replay.next_obs[idx].reshape(B * E, -1),
+                next_obs=replay.next_obs[idx].reshape(B * E, -1).astype(f32),
                 dones=replay.dones[idx].reshape(B * E))
 
             q_params = {k: params[k] for k in params if k.startswith("q")}
@@ -328,11 +333,12 @@ class OffPolicy:
             next_env = batched_step(env)(env_state, a_clip)
             next_obs = jnp.clip(next_env.obs, -cfg.clip_obs, cfg.clip_obs)
             r = next_env.reward * cfg.reward_scale
+            bf = jnp.bfloat16
             replay = replay.replace(
-                obs=replay.obs.at[replay.ptr].set(obs),
-                actions=replay.actions.at[replay.ptr].set(actions),
+                obs=replay.obs.at[replay.ptr].set(obs.astype(bf)),
+                actions=replay.actions.at[replay.ptr].set(actions.astype(bf)),
                 rewards=replay.rewards.at[replay.ptr].set(r),
-                next_obs=replay.next_obs.at[replay.ptr].set(next_obs),
+                next_obs=replay.next_obs.at[replay.ptr].set(next_obs.astype(bf)),
                 dones=replay.dones.at[replay.ptr].set(next_env.done.astype(jnp.float32)),
                 ptr=(replay.ptr + 1) % R,
                 count=jnp.minimum(replay.count + 1, R))
