@@ -122,3 +122,32 @@ def test_trpo_learns_toy():
     late = np.mean(rewards[-5:])
     assert np.isfinite(rewards).all()
     assert late > early + 0.2, (early, late)
+
+
+@pytest.mark.slow
+def test_oneant_ppo_golden_seed_regression():
+    """Golden-seed learning regression on the real OneAnt env (SURVEY.md
+    section 4, item 3): a fixed-seed 30-iteration CPU run must stay finite
+    and its reward band must not regress. The band is generous (physics or
+    net tweaks legitimately move the curve); a collapse to NaN or strongly
+    negative reward fails."""
+    import yaml
+    from massive_marl_tpu.utils.config import CFG_ROOT
+    import os
+    from massive_marl_tpu.envs.one_ant import OneAntEnv
+
+    with open(os.path.join(CFG_ROOT, "OneAnt.yaml")) as f:
+        cfg_env = yaml.safe_load(f)
+    env = OneAntEnv(cfg_env)
+    cfg = PPOConfig(nsteps=8, nminibatches=2, noptepochs=3, hidden=(64, 64),
+                    max_iterations=30, save_interval=0)
+    ppo = PPO(env, num_envs=16, cfg=cfg, seed=1, print_log=False)
+    ppo.state = ppo.init_state()
+    rewards = []
+    for _ in range(30):
+        ppo.state, metrics = ppo._train_iter(ppo.state)
+        rewards.append(float(metrics["mean_reward"]))
+    assert np.isfinite(rewards).all(), rewards
+    # early OneAnt reward/step sits around 0.5-3 (alive+up+approach terms);
+    # a sign/scale bug lands far outside this band
+    assert -2.0 < np.mean(rewards[-10:]) < 15.0, np.mean(rewards[-10:])
