@@ -106,7 +106,9 @@ class OffPolicyConfig:
     polyak: float = 0.99           # targ <- polyak*targ + (1-polyak)*new
     lr: float = 3e-4
     max_grad_norm: float = 1.0
-    ent_coef: float = 0.2          # SAC alpha
+    ent_coef: float = 0.2          # SAC alpha (initial value when auto_alpha)
+    auto_alpha: bool = False       # SAC v2: tune alpha toward target_entropy
+    target_entropy: float | None = None  # default -act_dim (set at init)
     reward_scale: float = 1.0
     act_noise: float = 0.1         # ddpg/td3 exploration noise
     target_noise: float = 0.2      # td3
@@ -132,10 +134,15 @@ class OffPolicyConfig:
              "act_noise": "act_noise", "target_noise": "target_noise",
              "noise_clip": "noise_clip", "policy_delay": "policy_delay",
              "hidden_nodes": "hidden_nodes", "hidden_layer": "hidden_layer",
-             "max_iterations": "max_iterations", "save_interval": "save_interval"}
+             "max_iterations": "max_iterations", "save_interval": "save_interval",
+             "auto_alpha": "auto_alpha", "target_entropy": "target_entropy"}
         for k, yk in m.items():
             if yk in learn:
                 kw[k] = learn[yk]
+        # ent_coef: 'auto' enables SAC-v2 alpha tuning (initial alpha 0.2)
+        if kw.get("ent_coef") == "auto":
+            kw["ent_coef"] = 0.2
+            kw["auto_alpha"] = True
         kw["lr"] = float(kw.get("lr", 3e-4))
         return cls(**kw)
 
@@ -205,6 +212,9 @@ class OffPolicy:
         params = {"pi": self.pi.init(kpi, obs0), "q1": self.q.init(kq1, obs0, act0)}
         if self.twin_q:
             params["q2"] = self.q.init(kq2, obs0, act0)
+        if self.is_sac and cfg.auto_alpha:
+            # SAC v2: learned temperature, updated toward target_entropy
+            params["alpha"] = {"log_alpha": jnp.log(jnp.asarray(cfg.ent_coef))}
         target_params = jax.tree_util.tree_map(lambda x: x, params)
         opt_pi = self.tx_pi.init(params["pi"])
         q_params = {k: params[k] for k in params if k.startswith("q")}
@@ -259,7 +269,7 @@ class OffPolicy:
             logp_a2 = 0.0
         q1_t = self.q.apply(target_params["q1"], o2, a2)
         q_t = jnp.minimum(q1_t, self.q.apply(target_params["q2"], o2, a2)) if self.twin_q else q1_t
-        alpha = cfg.ent_coef if self.is_sac else 0.0
+        alpha = self._alpha(params) if self.is_sac else 0.0
         backup = r + cfg.gamma * (1 - d) * (q_t - alpha * logp_a2)
         backup = jax.lax.stop_gradient(backup)
         q1 = self.q.apply(q_params["q1"], o, a)
@@ -269,6 +279,12 @@ class OffPolicy:
             loss = loss + jnp.mean((q2 - backup) ** 2)
         return loss
 
+    def _alpha(self, params):
+        """Entropy temperature: learned (SAC v2) when auto_alpha, else fixed."""
+        if self.is_sac and self.cfg.auto_alpha:
+            return jnp.exp(params["alpha"]["log_alpha"])
+        return self.cfg.ent_coef
+
     def _pi_loss(self, pi_params, params, batch, key):
         o = batch["obs"]
         if self.is_sac:
@@ -276,7 +292,8 @@ class OffPolicy:
             a, logp = squashed_sample(key, mu, log_std)
             q1 = self.q.apply(params["q1"], o, a)
             q = jnp.minimum(q1, self.q.apply(params["q2"], o, a))
-            return jnp.mean(self.cfg.ent_coef * logp - q)
+            alpha = jax.lax.stop_gradient(self._alpha(params))
+            return jnp.mean(alpha * logp - q)
         a = self.pi.apply(pi_params, o)
         return -jnp.mean(self.q.apply(params["q1"], o, a))
 
@@ -319,6 +336,17 @@ class OffPolicy:
                     lambda args: args, (params, opt_pi))
             else:
                 params, opt_pi = do_pi((params, opt_pi))
+
+            if self.is_sac and cfg.auto_alpha:
+                # SAC v2 temperature step (SGD on the dual):
+                # L(log_a) = -log_a * (E[logp] + target_H)
+                target_h = (cfg.target_entropy if cfg.target_entropy is not None
+                            else -float(self.act_dim))
+                mu, log_std = self.pi.apply(params["pi"], batch["obs"])
+                _, logp = squashed_sample(k_pi, mu, log_std)
+                la = params["alpha"]["log_alpha"] \
+                    + cfg.lr * (jnp.mean(logp) + target_h)
+                params = {**params, "alpha": {"log_alpha": la}}
 
             target_params = jax.tree_util.tree_map(
                 lambda t, p: cfg.polyak * t + (1 - cfg.polyak) * p, target_params, params)
