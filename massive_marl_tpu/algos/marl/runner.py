@@ -73,6 +73,8 @@ class MarlConfig:
     clip_actions: float = 1.0
     save_interval: int = 200
     log_interval: int = 1
+    use_eval: bool = False               # reference runner.py:50,184
+    eval_interval: int = 25              # cfg/happo/config.yaml eval_interval
 
     @classmethod
     def from_cfg_train(cls, cfg_train: dict, algo: str) -> "MarlConfig":
@@ -92,6 +94,7 @@ class MarlConfig:
             "use_huber_loss": "use_huber_loss",
             "use_clipped_value_loss": "use_clipped_value_loss",
             "use_fused_mlp": "use_fused_mlp",
+            "use_eval": "use_eval", "eval_interval": "eval_interval",
         }
         kw = {"algorithm_name": algo}
         for k, yk in m.items():
@@ -664,6 +667,16 @@ class MarlRunner:
                 if self.print_log:
                     print(f"[{self.cfg.algorithm_name}] it {it}/{n_iter} "
                           f"rew/step {m['mean_reward']:.3f} vloss {m['value_loss']:.3f} fps {fps:.0f}")
+            # periodic deterministic eval (reference runner.py:184 - gated
+            # by use_eval, every eval_interval episodes)
+            if (self.cfg.use_eval and self.cfg.eval_interval
+                    and it % self.cfg.eval_interval == 0):
+                eval_rew = self.eval(self.cfg.episode_length * 4)
+                if writer:
+                    writer.add_scalar("eval/mean_reward", eval_rew, it)
+                if self.print_log:
+                    print(f"[{self.cfg.algorithm_name}] eval at it {it}: "
+                          f"rew/step {eval_rew:.3f}")
             if self.log_dir and self.cfg.save_interval and (it + 1) % self.cfg.save_interval == 0:
                 self.save(os.path.join(self.log_dir, f"marl_{it + 1}.ckpt"))
         if writer:
