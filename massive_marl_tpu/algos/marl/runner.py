@@ -161,6 +161,7 @@ class MarlRunner:
                                      optax.adam(c.critic_lr, eps=c.opti_eps))
         self._train_iter = jax.jit(self._make_train_iter())
         self.state: MarlTrainState | None = None
+        self._eval_fns: dict = {}  # n_steps -> compiled eval (no retrace per call)
 
     # ------------------------------------------------------------------ setup
     def init_state(self) -> MarlTrainState:
@@ -710,21 +711,36 @@ class MarlRunner:
         self.state = self.state.replace(**restored)
 
     def eval(self, n_steps: int = 1000, deterministic: bool = True):
-        """Average reward with mean actions (runner.py:351-409)."""
+        """Average reward with mean actions (runner.py:351-409).
+
+        Mesh-aware (env step under shard_map like the train path - XLA cannot
+        auto-partition the pallas kernel) and compiled once per n_steps
+        (cached; the periodic use_eval hook reuses the same executable)."""
         if self.state is None:
             self.state = self.init_state()
-        cfg = self.cfg
+        fn = self._eval_fns.get(n_steps)
+        if fn is None:
+            cfg = self.cfg
+            env_step = batched_step(self.env)
+            if self.mesh is not None:
+                from massive_marl_tpu.parallel.mesh import shard_env_step
+                env_step = shard_env_step(env_step, self.mesh)
 
-        def step(carry, _):
-            env_state = carry
-            obs_buf = jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs)
-            obs, _ = self._agent_views(obs_buf)
-            mean, std = jax.vmap(lambda p, o: self.actor.apply(p, o),
-                                 in_axes=(0, 1), out_axes=1)(self.state.actor_params, obs)
-            a = jnp.clip(mean, -cfg.clip_actions, cfg.clip_actions)
-            env_state = batched_step(self.env)(env_state, a.reshape(self.num_envs, -1))
-            return env_state, env_state.reward
+            def step(carry, _):
+                env_state, ap = carry
+                obs_buf = jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs)
+                obs, _ = self._agent_views(obs_buf)
+                mean, std = jax.vmap(lambda p, o: self.actor.apply(p, o),
+                                     in_axes=(0, 1), out_axes=1)(ap, obs)
+                a = jnp.clip(mean, -cfg.clip_actions, cfg.clip_actions)
+                env_state = env_step(env_state, a.reshape(self.num_envs, -1))
+                return (env_state, ap), env_state.reward
 
-        _, rewards = jax.jit(lambda s: jax.lax.scan(step, s, None, length=n_steps))(
-            self.state.env_state)
-        return float(rewards.mean())
+            def run_eval(env_state, ap):
+                (_, _), rewards = jax.lax.scan(step, (env_state, ap), None,
+                                               length=n_steps)
+                return rewards.mean()
+
+            fn = jax.jit(run_eval)
+            self._eval_fns[n_steps] = fn
+        return float(fn(self.state.env_state, self.state.actor_params))

@@ -212,10 +212,11 @@ class OffPolicy:
         params = {"pi": self.pi.init(kpi, obs0), "q1": self.q.init(kq1, obs0, act0)}
         if self.twin_q:
             params["q2"] = self.q.init(kq2, obs0, act0)
+        # targets exclude the temperature (never read from the target copy)
+        target_params = jax.tree_util.tree_map(lambda x: x, params)
         if self.is_sac and cfg.auto_alpha:
             # SAC v2: learned temperature, updated toward target_entropy
             params["alpha"] = {"log_alpha": jnp.log(jnp.asarray(cfg.ent_coef))}
-        target_params = jax.tree_util.tree_map(lambda x: x, params)
         opt_pi = self.tx_pi.init(params["pi"])
         q_params = {k: params[k] for k in params if k.startswith("q")}
         opt_q = self.tx_q.init(q_params)
@@ -286,6 +287,7 @@ class OffPolicy:
         return self.cfg.ent_coef
 
     def _pi_loss(self, pi_params, params, batch, key):
+        """Returns (loss, mean_logp) - the aux feeds the alpha dual step."""
         o = batch["obs"]
         if self.is_sac:
             mu, log_std = self.pi.apply(pi_params, o)
@@ -293,9 +295,9 @@ class OffPolicy:
             q1 = self.q.apply(params["q1"], o, a)
             q = jnp.minimum(q1, self.q.apply(params["q2"], o, a))
             alpha = jax.lax.stop_gradient(self._alpha(params))
-            return jnp.mean(alpha * logp - q)
+            return jnp.mean(alpha * logp - q), jnp.mean(logp)
         a = self.pi.apply(pi_params, o)
-        return -jnp.mean(self.q.apply(params["q1"], o, a))
+        return -jnp.mean(self.q.apply(params["q1"], o, a)), jnp.asarray(0.0)
 
     def _make_iter(self, update: bool):
         cfg = self.cfg
@@ -325,10 +327,21 @@ class OffPolicy:
 
             def do_pi(args):
                 params, opt_pi = args
-                ploss, pgrad = jax.value_and_grad(self._pi_loss)(
-                    params["pi"], params, batch, k_pi)
+                (ploss, mean_logp), pgrad = jax.value_and_grad(
+                    self._pi_loss, has_aux=True)(params["pi"], params, batch, k_pi)
                 pup, opt_pi = self.tx_pi.update(pgrad, opt_pi, params["pi"])
-                return {**params, "pi": optax.apply_updates(params["pi"], pup)}, opt_pi
+                params = {**params, "pi": optax.apply_updates(params["pi"], pup)}
+                if self.is_sac and cfg.auto_alpha:
+                    # SAC v2 temperature dual step, reusing the pi-loss logp:
+                    # L(log_a) = -log_a * (E[logp] + target_H).  The raw step
+                    # is clipped (logp scales with act_dim early in training)
+                    # and log_alpha bounded to keep alpha finite.
+                    target_h = (cfg.target_entropy if cfg.target_entropy is not None
+                                else -float(self.act_dim))
+                    delta = jnp.clip(cfg.lr * (mean_logp + target_h), -0.01, 0.01)
+                    la = jnp.clip(params["alpha"]["log_alpha"] + delta, -10.0, 2.0)
+                    params = {**params, "alpha": {"log_alpha": la}}
+                return params, opt_pi
 
             if cfg.algo == "td3":
                 params, opt_pi = jax.lax.cond(
@@ -337,19 +350,10 @@ class OffPolicy:
             else:
                 params, opt_pi = do_pi((params, opt_pi))
 
-            if self.is_sac and cfg.auto_alpha:
-                # SAC v2 temperature step (SGD on the dual):
-                # L(log_a) = -log_a * (E[logp] + target_H)
-                target_h = (cfg.target_entropy if cfg.target_entropy is not None
-                            else -float(self.act_dim))
-                mu, log_std = self.pi.apply(params["pi"], batch["obs"])
-                _, logp = squashed_sample(k_pi, mu, log_std)
-                la = params["alpha"]["log_alpha"] \
-                    + cfg.lr * (jnp.mean(logp) + target_h)
-                params = {**params, "alpha": {"log_alpha": la}}
-
+            # polyak only over the target's own keys (it excludes 'alpha')
             target_params = jax.tree_util.tree_map(
-                lambda t, p: cfg.polyak * t + (1 - cfg.polyak) * p, target_params, params)
+                lambda t, p: cfg.polyak * t + (1 - cfg.polyak) * p, target_params,
+                {k: params[k] for k in target_params})
             return params, target_params, opt_pi, opt_q, key, qloss
 
         def env_step(carry, _):
