@@ -140,6 +140,34 @@ class ValueNorm:
         return x * jnp.sqrt(var) + m
 
 
+def norm_targets(vn: "ValueNorm", ret, mode: str, axis_name: str | None = None):
+    """Stats update + normalized value targets with the exact per-loss-call
+    cadence of the reference trainers.  Returns (vn', rn_clipped, rn_original).
+
+    mode='popart': the reference PopArt is a running normalizer whose
+      `forward(train=True)` updates the stats on EVERY call (popart.py:35-61;
+      despite the name it never rescales the critic output layer - the only
+      marl/actor_critic.py `v_out` is a plain Linear, and the one popart
+      branch that points at it, ippo_trainer.py:55-56, is dead because
+      cfg/ippo sets use_popart False).  cal_value_loss calls it twice
+      (happo_trainer.py:62-63): error_clipped sees the stats after the first
+      update, error_original after the second.
+    mode='valuenorm': one update(), both errors share the stats
+      (mappo_trainer.py:74-78).
+    mode='none': raw returns pass through.
+    """
+    if mode == "popart":
+        vn1 = vn.update(ret, axis_name)
+        rn_c = vn1.normalize(ret)
+        vn2 = vn1.update(ret, axis_name)
+        return vn2, rn_c, vn2.normalize(ret)
+    if mode == "valuenorm":
+        vn = vn.update(ret, axis_name)
+        rn = vn.normalize(ret)
+        return vn, rn, rn
+    return vn, ret, ret
+
+
 class MarlActorRNN(nn.Module):
     """Recurrent actor: MLPBase -> GRU -> DiagGaussian (the reference's
     optional RNNLayer path, actor_critic.py:35-36 + utils/rnn.py; hidden

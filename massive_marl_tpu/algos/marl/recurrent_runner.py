@@ -3,10 +3,17 @@
 The reference's recurrent path (`use_recurrent_policy`, actor_critic.py:35-36,
 RNNLayer utils/rnn.py) stores per-step rnn states in the buffer and trains
 with chunked-BPTT minibatch generators (separated_buffer.py:312-425,
-`data_chunk_length`).  With episode_length=8 the natural chunk is the whole
-rollout, so this runner implements naive-recurrent training: the update
-re-runs the GRU through the full T-chunk from the chunk-start hidden state
-(separated_buffer.naive_recurrent_generator semantics).
+`data_chunk_length`).  This runner implements exactly that:
+
+  * `data_chunk_length` L splits each [T, E] rollout into (T//L)*E chunks;
+    every update re-runs the GRU through an L-step chunk from the chunk-start
+    hidden state recorded during the rollout (recurrent_generator semantics,
+    separated_buffer.py:312-425).  L=None uses whole-episode chunks (L=T),
+    the naive-recurrent special case.
+  * `num_mini_batch` partitions the chunk axis per epoch with a fresh random
+    permutation (chunks-of-chunks, like the reference generator).
+  * value-target normalization uses the same per-algo PopArt/ValueNorm
+    cadence as the feed-forward runner (nets.norm_targets).
 
 Hidden states are zeroed at episode boundaries via masks = 1 - done
 (runner.py:229-255 mask construction).
@@ -48,6 +55,12 @@ class RecurrentMarlRunner(MarlRunner):
                  seed: int = 0, log_dir: str | None = None, print_log: bool = True):
         cfg = cfg or MarlConfig()
         self.H = cfg.hidden_size
+        L = cfg.data_chunk_length
+        if L is not None and cfg.episode_length % int(L) != 0:
+            raise ValueError(
+                f"data_chunk_length={L} must divide episode_length="
+                f"{cfg.episode_length} (reference recurrent_generator slices "
+                f"whole chunks, separated_buffer.py:312-425)")
         # build the recurrent nets FIRST, then reuse the parent's plumbing
         self._rnn_ready = False
         super().__init__(env, num_envs, cfg, seed, log_dir, print_log)
@@ -91,6 +104,12 @@ class RecurrentMarlRunner(MarlRunner):
         actor, critic = self.actor, self.critic
         actor_tx, critic_tx = self.actor_tx, self.critic_tx
         is_happo = cfg.algorithm_name in ("happo", "hatrpo")
+        norm_mode = self.norm_mode
+        L = int(cfg.data_chunk_length) if cfg.data_chunk_length else T
+        n_chunks_t = T // L          # chunks per env along time
+        C = n_chunks_t * E           # total chunks (the generator's batch axis)
+        nmb = max(1, cfg.num_mini_batch)
+        chunked = n_chunks_t > 1     # store per-step hiddens only when needed
 
         def act_all(ap, obs, h, mask):
             return jax.vmap(lambda p, o, hh, m: actor.apply(p, o, hh, m),
@@ -116,11 +135,19 @@ class RecurrentMarlRunner(MarlRunner):
             data = dict(obs=obs, share=obs_buf, actions=actions, logp=logp,
                         values=values, mask=mask, reward=ns.reward,
                         done=ns.done.astype(jnp.float32))
+            if chunked:
+                # pre-step hiddens: chunk-start states for the BPTT generator
+                # (the reference buffer's rnn_states[t], separated_buffer.py:44-50)
+                data["ah"] = ah
+                data["ch"] = ch
             return (ns, key, ap, cp, ah2, ch2), data
 
+        def denorm(vn, x):
+            return vn.denormalize(x) if norm_mode != "none" else x
+
         def gae_one_agent(values, rewards, dones, last_value, vn):
-            v_den = vn.denormalize(values)
-            last_den = vn.denormalize(last_value)
+            v_den = denorm(vn, values)
+            last_den = denorm(vn, last_value)
 
             def back(adv, x):
                 r, d, v, nv = x
@@ -134,15 +161,28 @@ class RecurrentMarlRunner(MarlRunner):
             returns = adv + v_den
             return (adv - adv.mean()) / (adv.std() + 1e-5), returns
 
+        def to_chunks(x):
+            """[T, E, ...] -> [L, C, ...]: split time into whole chunks and
+            fold the chunk index into the batch axis."""
+            x = x.reshape(n_chunks_t, L, E, *x.shape[2:])
+            return jnp.swapaxes(x, 0, 1).reshape(L, C, *x.shape[3:])
+
+        def chunk_starts(h_seq, h_roll0):
+            """Chunk-start hiddens [C, H] from per-step hiddens [T, E, H]
+            (h_seq[0] equals the rollout-start state h_roll0)."""
+            if not chunked:
+                return h_roll0
+            return h_seq[::L].reshape(C, H)
+
         def actor_seq_logp(params, obs_seq, act_seq, mask_seq, h0):
-            """Recompute logp through the GRU chain: obs_seq [T,E,obs]."""
+            """Recompute logp through the GRU chain: obs_seq [L,B,obs]."""
             def step(h, x):
                 o, a, m = x
                 mean, std, h = actor.apply(params, o, h, m)
                 return h, (nets.normal_log_prob(mean, std, a),
                            nets.normal_entropy(std))
             _, (logp, ent) = jax.lax.scan(step, h0, (obs_seq, act_seq, mask_seq))
-            return logp, ent  # [T,E]
+            return logp, ent  # [L,B]
 
         def critic_seq(params, cin_seq, mask_seq, h0):
             def step(h, x):
@@ -152,10 +192,11 @@ class RecurrentMarlRunner(MarlRunner):
             _, v = jax.lax.scan(step, h0, (cin_seq, mask_seq))
             return v
 
-        def agent_update(ap, ao, cp, co, vn, data, factor):
-            """cfg.ppo_epoch naive-recurrent BPTT updates for one agent.
-            data: obs [T,E,obs], actions, logp, values [T,E], adv, returns,
-            mask [T,E broadcast from T], cin [T,E,cin], ah0/ch0 [E,H]."""
+        def update_once(carry, data):
+            """One gradient step on one minibatch of chunks.  data leaves:
+            sequences [L, B, ...] plus chunk-start hiddens ah0/ch0 [B, H]
+            and factor [L, B]."""
+            ap, ao, cp, co, vn = carry
 
             def actor_loss(p):
                 logp, ent = actor_seq_logp(p, data["obs"], data["actions"],
@@ -163,32 +204,57 @@ class RecurrentMarlRunner(MarlRunner):
                 ratio = jnp.exp(logp - data["logp"])
                 surr1 = ratio * data["adv"]
                 surr2 = jnp.clip(ratio, 1 - cfg.clip_param, 1 + cfg.clip_param) * data["adv"]
-                loss = -jnp.mean(factor.reshape(T, E) * jnp.minimum(surr1, surr2))
+                loss = -jnp.mean(data["factor"] * jnp.minimum(surr1, surr2))
                 return loss - cfg.entropy_coef * ent.mean(), loss
 
-            def critic_loss(p, vn):
+            def critic_loss(p, rn_clip, rn_orig):
                 v = critic_seq(p, data["cin"], data["mask"], data["ch0"])
-                ret_n = vn.normalize(data["returns"])
                 v_clip = data["values"] + jnp.clip(v - data["values"],
                                                    -cfg.clip_param, cfg.clip_param)
-                l = jnp.maximum(nets.huber(ret_n - v, cfg.huber_delta),
-                                nets.huber(ret_n - v_clip, cfg.huber_delta))
+                err_o = rn_orig - v
+                err_c = rn_clip - v_clip
+                if cfg.use_huber_loss:
+                    l_o = nets.huber(err_o, cfg.huber_delta)
+                    l_c = nets.huber(err_c, cfg.huber_delta)
+                else:
+                    l_o, l_c = 0.5 * err_o**2, 0.5 * err_c**2
+                l = jnp.maximum(l_o, l_c) if cfg.use_clipped_value_loss else l_o
                 return cfg.value_loss_coef * l.mean(), l.mean()
 
-            def one_epoch(carry, _):
-                ap, ao, cp, co, vn = carry
-                (al, aloss), ag = jax.value_and_grad(actor_loss, has_aux=True)(ap)
-                au, ao = actor_tx.update(ag, ao, ap)
-                ap = optax.apply_updates(ap, au)
-                vn = vn.update(data["returns"])
-                (cl, vloss), cg = jax.value_and_grad(critic_loss, has_aux=True)(cp, vn)
-                cu, co = critic_tx.update(cg, co, cp)
-                cp = optax.apply_updates(cp, cu)
-                return (ap, ao, cp, co, vn), (aloss, vloss)
+            (al, aloss), ag = jax.value_and_grad(actor_loss, has_aux=True)(ap)
+            au, ao = actor_tx.update(ag, ao, ap)
+            ap = optax.apply_updates(ap, au)
+            vn, rn_c, rn_o = nets.norm_targets(vn, data["returns"], norm_mode)
+            (cl, vloss), cg = jax.value_and_grad(critic_loss, has_aux=True)(
+                cp, rn_c, rn_o)
+            cu, co = critic_tx.update(cg, co, cp)
+            cp = optax.apply_updates(cp, cu)
+            return (ap, ao, cp, co, vn), (aloss, vloss)
 
-            (ap, ao, cp, co, vn), (alosses, vlosses) = jax.lax.scan(
-                one_epoch, (ap, ao, cp, co, vn), None, length=cfg.ppo_epoch)
-            return ap, ao, cp, co, vn, alosses.mean(), vlosses.mean()
+        def agent_update(key, ap, ao, cp, co, vn, data):
+            """ppo_epoch x num_mini_batch chunked-BPTT updates for one agent.
+            data: sequences [L, C, ...] + ah0/ch0 [C, H] + factor [L, C]."""
+            if nmb == 1:
+                def one_epoch(carry, _):
+                    return update_once(carry, data)
+                (ap, ao, cp, co, vn), (al, vl) = jax.lax.scan(
+                    one_epoch, (ap, ao, cp, co, vn), None, length=cfg.ppo_epoch)
+            else:
+                mb = C // nmb
+
+                def one_epoch(carry, k):
+                    idx = jax.random.permutation(k, C)[: nmb * mb].reshape(nmb, mb)
+
+                    def one_mb(c2, ix):
+                        mbd = {k2: (v[ix] if k2 in ("ah0", "ch0") else v[:, ix])
+                               for k2, v in data.items()}
+                        return update_once(c2, mbd)
+                    carry, (al, vl) = jax.lax.scan(one_mb, carry, idx)
+                    return carry, (al.mean(), vl.mean())
+                (ap, ao, cp, co, vn), (al, vl) = jax.lax.scan(
+                    one_epoch, (ap, ao, cp, co, vn),
+                    jax.random.split(key, cfg.ppo_epoch))
+            return ap, ao, cp, co, vn, al.mean(), vl.mean()
 
         def train_iter(ts: RecurrentMarlTrainState):
             ah0_all, ch0_all = ts.actor_h, ts.critic_h        # [E,N,H]
@@ -206,29 +272,41 @@ class RecurrentMarlRunner(MarlRunner):
                 traj["values"], traj["reward"], traj["done"], last_values, ts.vnorm)
 
             share_seq = traj["share"]                        # [T,E,share]
+            mask_chunks = to_chunks(traj["mask"])            # [L,C]
 
             def agent_data(i):
                 g = lambda x: jax.lax.dynamic_index_in_dim(x, i, axis=2, keepdims=False)
                 obs_i = g(traj["obs"])
                 cin_i = share_seq if cfg.use_centralized_v else obs_i
-                return dict(obs=obs_i, cin=cin_i, actions=g(traj["actions"]),
-                            logp=g(traj["logp"]), values=g(traj["values"]),
-                            adv=g(adv), returns=g(returns), mask=traj["mask"],
-                            ah0=jax.lax.dynamic_index_in_dim(ah0_all, i, 1, False),
-                            ch0=jax.lax.dynamic_index_in_dim(ch0_all, i, 1, False))
+                ah_seq = g(traj["ah"]) if chunked else None   # [T,E,H]
+                ch_seq = g(traj["ch"]) if chunked else None
+                return dict(obs=to_chunks(obs_i), cin=to_chunks(cin_i),
+                            actions=to_chunks(g(traj["actions"])),
+                            logp=to_chunks(g(traj["logp"])),
+                            values=to_chunks(g(traj["values"])),
+                            adv=to_chunks(g(adv)), returns=to_chunks(g(returns)),
+                            mask=mask_chunks,
+                            ah0=chunk_starts(ah_seq,
+                                             jax.lax.dynamic_index_in_dim(ah0_all, i, 1, False)),
+                            ch0=chunk_starts(ch_seq,
+                                             jax.lax.dynamic_index_in_dim(ch0_all, i, 1, False)))
 
+            key, k_mb = jax.random.split(key)
             if not is_happo:
-                def upd(ap, ao, cp, co, vn, i):
-                    return agent_update(ap, ao, cp, co, vn, agent_data(i),
-                                        jnp.ones(T * E))
+                def upd(k, ap, ao, cp, co, vn, i):
+                    data = agent_data(i)
+                    data["factor"] = jnp.ones((L, C))
+                    return agent_update(k, ap, ao, cp, co, vn, data)
                 ap, ao, cp, co, vn, alosses, vlosses = jax.vmap(upd)(
+                    jax.random.split(k_mb, N),
                     ts.actor_params, ts.actor_opt, ts.critic_params,
                     ts.critic_opt, ts.vnorm, jnp.arange(N))
             else:
                 key, kp = jax.random.split(key)
                 perm = jax.random.permutation(kp, N)
 
-                def happo_agent(carry, i):
+                def happo_agent(carry, x):
+                    i, k_ep = x
                     ap_all, ao_all, cp_all, co_all, vn_all, factor = carry
                     gi = lambda t: jax.tree_util.tree_map(
                         lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, False), t)
@@ -238,20 +316,23 @@ class RecurrentMarlRunner(MarlRunner):
                     ap, ao, cp, co, vn = (gi(ap_all), gi(ao_all), gi(cp_all),
                                           gi(co_all), gi(vn_all))
                     data = agent_data(i)
+                    data["factor"] = factor                   # [L,C]
+                    # the factor logps run over chunked sequences from the
+                    # true chunk-start hiddens - exact, chunked or not
                     old_logp, _ = actor_seq_logp(ap, data["obs"], data["actions"],
                                                  data["mask"], data["ah0"])
-                    ap, ao, cp, co, vn, al, vl = agent_update(ap, ao, cp, co, vn,
-                                                              data, factor)
+                    ap, ao, cp, co, vn, al, vl = agent_update(k_ep, ap, ao, cp, co,
+                                                              vn, data)
                     new_logp, _ = actor_seq_logp(ap, data["obs"], data["actions"],
                                                  data["mask"], data["ah0"])
-                    factor = factor * jnp.exp(new_logp - old_logp).reshape(-1)
+                    factor = factor * jnp.exp(new_logp - old_logp)
                     return (si(ap_all, ap), si(ao_all, ao), si(cp_all, cp),
                             si(co_all, co), si(vn_all, vn), factor), (al, vl)
 
                 init = (ts.actor_params, ts.actor_opt, ts.critic_params,
-                        ts.critic_opt, ts.vnorm, jnp.ones(T * E))
+                        ts.critic_opt, ts.vnorm, jnp.ones((L, C)))
                 (ap, ao, cp, co, vn, _), (alosses, vlosses) = jax.lax.scan(
-                    happo_agent, init, perm)
+                    happo_agent, init, (perm, jax.random.split(k_mb, N)))
 
             def ep_step(c, x):
                 ep, last, cnt = c
@@ -280,22 +361,40 @@ class RecurrentMarlRunner(MarlRunner):
 
         return train_iter
 
-    def eval(self, n_steps: int = 1000, deterministic: bool = True):
+    def eval(self, n_episodes: int | None = None, deterministic: bool = True):
+        """Episode-faithful recurrent eval: fresh-reset eval envs, zero
+        hidden states (reference eval_rnn_states init, runner.py:361-363),
+        mean first-episode return."""
         if self.state is None:
             self.state = self.init_state()
         cfg = self.cfg
+        n_episodes = n_episodes or cfg.eval_episodes
+        E_ev = max(1, min(n_episodes, self.num_envs))
+        horizon = int(getattr(self.env, "max_episode_length", 1000))
+        fn = self._eval_fns.get(E_ev)
+        if fn is None:
+            def step(carry, _):
+                st, ah, ret, alive, ap = carry
+                mask = 1.0 - st.done.astype(jnp.float32)
+                obs, _ = self._agent_views(jnp.clip(st.obs, -cfg.clip_obs, cfg.clip_obs))
+                mean, _, ah = jax.vmap(lambda p, o, h, m: self.actor.apply(p, o, h, m),
+                                       in_axes=(0, 1, 1, None), out_axes=1)(
+                    ap, obs, ah, mask)
+                st = batched_step(self.env)(
+                    st, jnp.clip(mean, -1, 1).reshape(E_ev, -1))
+                ret = ret + jnp.where(alive, st.reward, 0.0)
+                alive = alive & ~st.done
+                return (st, ah, ret, alive, ap), None
 
-        def step(carry, _):
-            st, ah = carry
-            mask = 1.0 - st.done.astype(jnp.float32)
-            obs, _ = self._agent_views(jnp.clip(st.obs, -cfg.clip_obs, cfg.clip_obs))
-            mean, _, ah = jax.vmap(lambda p, o, h, m: self.actor.apply(p, o, h, m),
-                                   in_axes=(0, 1, 1, None), out_axes=1)(
-                self.state.actor_params, obs, ah, mask)
-            st = batched_step(self.env)(st, jnp.clip(mean, -1, 1).reshape(self.num_envs, -1))
-            return (st, ah), st.reward
+            def run_eval(key, ap):
+                st = jax.vmap(self.env.reset)(jax.random.split(key, E_ev))
+                ah = jnp.zeros((E_ev, self.N, self.H))
+                (_, _, ret, _, _), _ = jax.lax.scan(
+                    step, (st, ah, jnp.zeros(E_ev), jnp.ones(E_ev, bool), ap),
+                    None, length=horizon)
+                return ret.mean()
 
-        (_, _), rewards = jax.jit(lambda s, h: jax.lax.scan(step, (s, h), None,
-                                                            length=n_steps))(
-            self.state.env_state, self.state.actor_h)
-        return float(rewards.mean())
+            fn = jax.jit(run_eval)
+            self._eval_fns[E_ev] = fn
+        return float(fn(jax.random.PRNGKey(self.seed + 10_000),
+                        self.state.actor_params))

