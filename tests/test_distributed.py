@@ -101,3 +101,50 @@ def test_psum_equivalence_sharded_vs_single_device(ppo):
     # output kept its sharding: env state still on all 8 devices
     qpos = jax.tree_util.tree_leaves(ts_out.env_state)[0]
     assert len(qpos.sharding.device_set) == N_DEV
+
+
+# ---------------------------------------------------------------------------
+# MARL trainers on the mesh (VERDICT r1 item 5: HAPPO/HATRPO multi-chip)
+# ---------------------------------------------------------------------------
+
+from massive_marl_tpu.algos.marl.runner import MarlConfig, MarlRunner
+from tests.test_marl import TeamEnv
+
+
+@pytest.mark.parametrize("algo", ["mappo", "happo", "hatrpo"])
+def test_marl_psum_equivalence_sharded_vs_single_device(algo):
+    """One full MARL train iteration per trainer branch: the 8-way
+    'data'-sharded run (env rollout under shard_map; HAPPO/HATRPO update
+    auto-partitioned by GSPMD, MAPPO fused path pmean'd under shard_map)
+    must agree with the single-device run under a fixed seed."""
+    env = TeamEnv()
+    E = 2 * N_DEV
+    cfg = MarlConfig(algorithm_name=algo, episode_length=4, ppo_epoch=2,
+                     hidden_size=32, layer_n=1)
+
+    ref = MarlRunner(env, num_envs=E, cfg=cfg, seed=0, print_log=False)
+    ts_ref, metrics_ref = ref._train_iter(ref.init_state())
+
+    mesh = meshlib.make_mesh(N_DEV)
+    sharded = MarlRunner(env, num_envs=E, cfg=cfg, seed=0, print_log=False,
+                         mesh=mesh)
+    with mesh:
+        ts0 = meshlib.apply_sharding(sharded.init_state(), mesh)
+        ts_sh, metrics_sh = sharded._train_iter(ts0)
+        jax.block_until_ready(ts_sh.actor_params)
+
+    for (pa, a), (pb, b) in zip(_leaves_with_paths(ts_ref.actor_params),
+                                _leaves_with_paths(ts_sh.actor_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"{algo} {pa}")
+    for (pa, a), (pb, b) in zip(_leaves_with_paths(ts_ref.critic_params),
+                                _leaves_with_paths(ts_sh.critic_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"{algo} {pa}")
+    for k in ("mean_reward", "value_loss", "policy_loss"):
+        a, b = float(metrics_ref[k]), float(metrics_sh[k])
+        assert np.isfinite(a) and np.isfinite(b), (algo, k)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4, err_msg=f"{algo} {k}")
+    # env state stayed sharded across all devices
+    leaf = jax.tree_util.tree_leaves(ts_sh.env_state)[0]
+    assert len(leaf.sharding.device_set) == N_DEV
