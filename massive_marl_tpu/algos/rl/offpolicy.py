@@ -12,7 +12,9 @@ sac/sac.py:24-406}) with their replay semantics (sac/storage.py:5-62):
   * polyak-averaged target nets (polyak * targ + (1-polyak) * new)
   * DDPG: deterministic actor + act_noise exploration; TD3 adds twin Q,
     clipped target noise and delayed policy updates (policy_delay=2);
-    SAC: squashed-Gaussian actor, twin Q, fixed entropy coef alpha=0.2
+    SAC: squashed-Gaussian actor, twin Q, and automatic entropy-temperature
+    tuning (SAC-v2 dual step on log_alpha toward -act_dim target entropy;
+    `ent_coef: auto`) or a fixed alpha when the cfg gives a number
 
 TPU shape: the replay ring lives in HBM inside the train state (donated by
 jit), one iteration = lax.scan over nsteps of [env step -> ring write ->

@@ -141,8 +141,12 @@ def train(args=None):
 
     if algo in cfg_mod.MTRL_ALGOS:
         from massive_marl_tpu.algos.mtrl.mtppo import MTPPO, MTPPOConfig, RandomPolicyRunner
+        # task set from the train cfg (the reference's MultiTask wrapper reads
+        # task_envs off the task object, multi_task_vec_task.py:32-35; here
+        # the cfg names the single-agent tasks to compose)
+        task_names = cfg_train.get("tasks", ["OneAnt", "MultiAntCircle"])
         envs = {t: build_env(t, _load_env_cfg(t), multi_agent=False)
-                for t in ("OneAnt", "MultiAntCircle")}
+                for t in task_names}
         if algo == "random":
             runner = RandomPolicyRunner(envs, num_envs=num_envs, seed=cfg.get("seed", 0))
             runner.run(args.max_iterations or 10)

@@ -8,6 +8,14 @@ actions are hinge torques `action * gear * power_scale`
 
 The whole control step (substeps x [FK -> contacts -> CRBA solve ->
 integrate]) is a `lax.scan` body, vmapped over the env axis by the wrappers.
+Joint damping and the joint-limit penalty damping integrate IMPLICITLY
+(engine.forward_dynamics imp_damping), which keeps the stiff limit penalty
+chatter-free.
+
+Domain randomization: state.dr holds a per-ant DrSample ([A]-stacked leaves)
+that overrides mass/damping/armature/joint limits; `dr_count`/`frame`
+counters implement the reference's frequency gating and schedules
+(phys/dr.py docstring).
 """
 from __future__ import annotations
 
@@ -28,9 +36,13 @@ class AntSceneState:
     box_qpos: jnp.ndarray   # [7]  (unused zeros when the scene has no box)
     box_qvel: jnp.ndarray   # [6]
     sensors: jnp.ndarray    # [A, 4, 6] foot contact wrenches (body frame)
-    # per-env randomized System (domain randomization, phys/dr.py); the empty
-    # tuple when DR is off so the pytree structure stays uniform
-    sys: Any = ()
+    # per-ant randomized parameters (phys/dr.DrSample with [A] leaves); the
+    # empty tuple when DR is off so the pytree structure stays uniform
+    dr: Any = ()
+    # steps since this env's params were last re-randomized (randomize_buf,
+    # base_task.py:228-233) and total frames lived (schedule clock)
+    dr_count: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
+    frame: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 class AntSceneSpec(NamedTuple):
@@ -52,7 +64,8 @@ class AntSceneSpec(NamedTuple):
 
 def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -> AntSceneState:
     """Advance one control step.  actions: [A, 8] in [-1, 1]."""
-    sys = state.sys if spec.dr_spec is not None else spec.ant_sys
+    sys = spec.ant_sys
+    use_dr = spec.dr_spec is not None
     h = spec.dt / spec.substeps
     gravity = jnp.asarray(spec.gravity)
     cp = spec.contact
@@ -63,37 +76,37 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
         box_inv_static = (1.0 / spec.box_sys.mass[0],
                           engine._inv3x3_sym(spec.box_sys.inertia[0]))
 
-    def ant_substep(qpos, qvel, box_qpos, box_qvel):
-        fk = engine.fwd_kinematics(sys, qpos, qvel)
-        p_w, v_w, body = engine.points_world(sys, fk)
-        pi = engine.point_inertia(sys, fk, p_w)
-        mu_plane = sys.point_friction * spec.plane_friction
-        f_pts = engine.contact_plane(p_w, v_w, sys.point_radius, mu_plane, cp,
+    def ant_substep(qpos, qvel, tau_a, dr_row, box_qpos, box_qvel):
+        """Full substep for ONE ant: contacts + limits + dynamics + integrate."""
+        s = dr_row.apply(sys) if use_dr else sys
+        fk = engine.fwd_kinematics(s, qpos, qvel)
+        p_w, v_w, body = engine.points_world(s, fk)
+        pi = engine.point_inertia(s, fk, p_w)
+        mu_plane = s.point_friction * spec.plane_friction
+        f_pts = engine.contact_plane(p_w, v_w, s.point_radius, mu_plane, cp,
                                      pi=pi, h=h)
         box_wrench = jnp.zeros(6)
         if has_box:
             f_box, box_wrench = engine.contact_box(
-                p_w, v_w, sys.point_radius, sys.point_friction * 0.0,  # frictionless box
+                p_w, v_w, s.point_radius, s.point_friction * 0.0,  # frictionless box
                 box_qpos[0:3], box_qpos[3:7], box_qvel,
                 spec.box_half_extents, cp, pi=pi, h=h, box_inv=box_inv_static)
             f_pts = f_pts + f_box
-        f_ext = engine.accumulate_body_forces(sys, p_w, f_pts, fk.base)
-        sens = engine.sensor_forces(sys, f_pts, fk)
-        return fk, f_ext, sens, box_wrench
+        f_ext = engine.accumulate_body_forces(s, p_w, f_pts, fk.base)
+        sens = engine.sensor_forces(s, f_pts, fk, p_w)
+        t_lim, d_lim = engine.joint_limit_spring(s, qpos)
+        tau = tau_a + t_lim
+        qacc = engine.forward_dynamics(s, fk, qvel, tau, f_ext, gravity,
+                                       imp_damping=s.damping + d_lim, h=h)
+        qpos2, qvel2 = engine.integrate(s, qpos, qvel, qacc, h)
+        return qpos2, qvel2, sens, box_wrench
 
     def substep(carry, _):
         aq, av, bq, bv = carry
-        fk_a, f_ext_a, sens, box_wrench = jax.vmap(ant_substep, in_axes=(0, 0, None, None))(
-            aq, av, bq, bv)
-        tau = (
-            tau_act
-            + jax.vmap(lambda q, v: engine.joint_limit_torque(sys, q, v))(aq, av)
-            - sys.damping * av[:, 6:]
-        )
-        qacc = jax.vmap(
-            lambda fk, v, t, fe: engine.forward_dynamics(sys, fk, v, t, fe, gravity)
-        )(fk_a, av, tau, f_ext_a)
-        aq2, av2 = jax.vmap(lambda q, v, a: engine.integrate(sys, q, v, a, h))(aq, av, qacc)
+        dr_ax = 0 if use_dr else None
+        aq2, av2, sens, box_wrench = jax.vmap(
+            ant_substep, in_axes=(0, 0, 0, dr_ax, None, None))(
+            aq, av, tau_act, state.dr if use_dr else None, bq, bv)
 
         if has_box:
             bsys = spec.box_sys
@@ -116,26 +129,34 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
         substep, (state.ant_qpos, state.ant_qvel, state.box_qpos, state.box_qvel),
         None, length=spec.substeps)
     return AntSceneState(ant_qpos=aq, ant_qvel=av, box_qpos=bq, box_qvel=bv,
-                         sensors=sens_hist[-1], sys=state.sys)
+                         sensors=sens_hist[-1], dr=state.dr,
+                         dr_count=state.dr_count + 1, frame=state.frame + 1)
 
 
 def reset_scene(spec: AntSceneSpec, key: jnp.ndarray, ant_start: jnp.ndarray,
                 box_start: Optional[jnp.ndarray], init_hinge: jnp.ndarray,
-                pos_noise: float = 0.2, vel_noise: float = 0.1) -> AntSceneState:
+                pos_noise: float = 0.2, vel_noise: float = 0.1,
+                frame=None) -> AntSceneState:
     """Fresh scene state (reference reset_idx, ten_ant.py:810-884): roots at
     their spawn poses with zero velocity, hinge pos/vel perturbed uniformly.
     The same noise vector is shared by all ants in an env - exactly like the
     reference, which draws one `positions` tensor and applies it to every ant
-    (ten_ant.py:822-854)."""
+    (ten_ant.py:822-854).
+
+    With DR on, every ant gets an independently sampled DrSample (the
+    reference's per-actor randomization loop, base_task.py:344+); `frame`
+    feeds the schedule ramp."""
     sys = spec.ant_sys
     A = spec.num_ants
     key, kp, kv = jax.random.split(key, 3)
     if spec.dr_spec is not None:
         from massive_marl_tpu.phys import dr
         key, kd = jax.random.split(key)
-        sys_rand = dr.randomize_system(sys, kd, spec.dr_spec)
+        dr_sample = jax.vmap(
+            lambda k: dr.sample_dr(sys, k, spec.dr_spec, frame)
+        )(jax.random.split(kd, A))
     else:
-        sys_rand = ()
+        dr_sample = ()
     dpos = jax.random.uniform(kp, (sys.nj,), minval=-pos_noise, maxval=pos_noise)
     dvel = jax.random.uniform(kv, (sys.nj,), minval=-vel_noise, maxval=vel_noise)
     hinge = jnp.clip(init_hinge + dpos, sys.jnt_range[:, 0], sys.jnt_range[:, 1])
@@ -150,4 +171,7 @@ def reset_scene(spec: AntSceneSpec, key: jnp.ndarray, ant_start: jnp.ndarray,
     return AntSceneState(ant_qpos=qpos, ant_qvel=qvel, box_qpos=box_qpos,
                          box_qvel=jnp.zeros(6),
                          sensors=jnp.zeros((A, max(sys.num_sensors, 1), 6)),
-                         sys=sys_rand)
+                         dr=dr_sample,
+                         dr_count=jnp.zeros((), jnp.int32),
+                         frame=jnp.asarray(frame, jnp.int32) if frame is not None
+                         else jnp.zeros((), jnp.int32))

@@ -58,11 +58,12 @@ class OneAntEnv:
         sim_cfg = cfg.get("sim", {})
         dt = sim_cfg.get("dt", 0.0166)
         substeps = sim_cfg.get("substeps", 3)
-        # fused Pallas physics (ops/fused_substep.py): "auto" = on for TPU
+        # fused Pallas physics (ops/fused_substep.py): "auto" = on for TPU.
+        # DR composes with it (randomized params ride as a kernel operand).
         fused = sim_cfg.get("fused_kernel", "auto")
         if fused == "auto":
             fused = jax.default_backend() in ("tpu", "axon")
-        self.use_fused = bool(fused) and not cfg.get("task", {}).get("randomize", False)
+        self.use_fused = bool(fused)
 
         # domain randomization (base_task.py:216-410; spec TenAnt.yaml:84-121)
         from massive_marl_tpu.phys import dr as _dr
@@ -70,6 +71,9 @@ class OneAntEnv:
         self.randomize = bool(task_cfg.get("randomize", False))
         rp = task_cfg.get("randomization_params", {}) or {}
         dr_spec = (rp.get("actor_params", {}) or {}).get("ant") if self.randomize else None
+        self.dr_frequency = int(rp.get("frequency", 1))
+        rb = (dr_spec or {}).get("rigid_body_properties", {})
+        self._dr_mass_setup_only = bool(rb.get("mass", {}).get("setup_only", False))
         self._obs_noise = _dr.noise_fn(rp.get("observations") if self.randomize else None)
         self._act_noise = _dr.noise_fn(rp.get("actions") if self.randomize else None)
 
@@ -90,11 +94,25 @@ class OneAntEnv:
         self.box_targets = jnp.zeros(2)
 
     # -- scene spawning (one_ant.py:233-266) --
-    def _fresh_pipeline(self, key) -> AntSceneState:
+    def _fresh_pipeline(self, key, frame=None) -> AntSceneState:
         return reset_scene(self.spec, key,
                            ant_start=jnp.array([[-6.0, 0.0, 1.0]]),
                            box_start=jnp.array([-4.0, 0.0, 1.0]),
-                           init_hinge=self.init_hinge)
+                           init_hinge=self.init_hinge, frame=frame)
+
+    def _dr_reset(self, fresh: AntSceneState, stepped: AntSceneState,
+                  prev: AntSceneState) -> AntSceneState:
+        """Frequency-gated re-randomization with setup_only persistence
+        (see TenAntEnv._dr_reset)."""
+        if not self.randomize:
+            return fresh
+        from massive_marl_tpu.envs.base import select_tree as _sel
+        resample = stepped.dr_count >= self.dr_frequency
+        new_dr = _sel(resample, fresh.dr, prev.dr)
+        if self._dr_mass_setup_only:
+            new_dr = new_dr.replace(mass=prev.dr.mass)
+        return fresh.replace(dr=new_dr,
+                             dr_count=jnp.where(resample, 0, stepped.dr_count))
 
     def _carry_of(self, pipeline: AntSceneState) -> OneAntCarry:
         return OneAntCarry(pos_before=pipeline.ant_qpos[0, 0:2],
@@ -120,7 +138,7 @@ class OneAntEnv:
     def step(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
         # 1. physics on the pre-reset state (reference order, base_task.py:129-149)
         key, kn_a, kn_o = jax.random.split(state.key, 3)
-        applied = self._act_noise(kn_a, actions)  # DR action noise (base_task.py:262-300)
+        applied = self._act_noise(kn_a, actions, state.pipeline.frame)
         stepped = scene_step(self.spec, state.pipeline, applied[None, :])
         return self._finish_step(stepped, actions, key, kn_o, state)
 
@@ -132,7 +150,7 @@ class OneAntEnv:
         E = actions.shape[0]
         triple = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)
         key, kn_a, kn_o = triple[:, 0], triple[:, 1], triple[:, 2]
-        applied = jax.vmap(self._act_noise)(kn_a, actions)
+        applied = jax.vmap(self._act_noise)(kn_a, actions, state.pipeline.frame)
         stepped = fused_scene_step(self.spec, state.pipeline, applied[:, None, :])
         return jax.vmap(self._finish_step)(stepped, actions, key, kn_o, state)
 
@@ -140,7 +158,8 @@ class OneAntEnv:
                      key: jnp.ndarray, kn_o: jnp.ndarray, state: EnvState) -> EnvState:
         # 2. auto-reset envs flagged done last step
         key, sub = jax.random.split(key)
-        fresh = self._fresh_pipeline(sub)
+        fresh = self._dr_reset(self._fresh_pipeline(sub, frame=stepped.frame),
+                               stepped, state.pipeline)
         # failure containment: a blown-up env (f32 overflow under adversarial
         # torques) is treated as done and replaced by a fresh episode so NaNs
         # never reach the learner (SURVEY.md section 5 failure detection)
@@ -150,9 +169,11 @@ class OneAntEnv:
         carry_prev = select_tree(reset_now, self._carry_of(fresh), state.carry)
         progress = jnp.where(reset_now, 0, state.progress + 1)
 
-        # 3. obs / reward / done
-        obs = self._obs_noise(kn_o, self._obs(pipeline, actions))
+        # 3. obs / reward / done - reward from the CLEAN obs; DR noise only
+        # touches the returned obs (reference order, base_task.py:139-149)
+        obs = self._obs(pipeline, actions)
         reward, done = self._reward(obs, actions, pipeline, carry_prev, progress)
+        obs = self._obs_noise(kn_o, obs, pipeline.frame)
         carry = self._carry_of(pipeline)
         return EnvState(pipeline=pipeline, carry=carry, progress=progress,
                         done=done, key=key, obs=obs, reward=reward)

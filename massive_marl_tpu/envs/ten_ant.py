@@ -66,16 +66,15 @@ class TenAntEnv:
         sim_cfg = cfg.get("sim", {})
         dt = sim_cfg.get("dt", 0.0166)
         substeps = sim_cfg.get("substeps", 3)
-        # fused Pallas physics substep (ops/fused_substep.py); batched step
-        # only, incompatible with per-env DR (constants are baked in).
+        # fused Pallas physics substep (ops/fused_substep.py).  DR composes
+        # with it: the randomized per-ant parameters travel as a batched
+        # kernel operand (no per-env constant baking).
         # "auto" (default): on when running on TPU hardware, off elsewhere
         # (the pallas interpreter on CPU is only for the agreement tests)
         fused = sim_cfg.get("fused_kernel", "auto")
         if fused == "auto":
             fused = jax.default_backend() in ("tpu", "axon")
         self.use_fused = bool(fused)
-        if self.use_fused and cfg.get("task", {}).get("randomize", False):
-            self.use_fused = False  # DR resamples the System per env/reset
 
         # domain randomization (base_task.py:216-410; spec TenAnt.yaml:84-121)
         from massive_marl_tpu.phys import dr as _dr
@@ -83,6 +82,10 @@ class TenAntEnv:
         self.randomize = bool(task_cfg.get("randomize", False))
         rp = task_cfg.get("randomization_params", {}) or {}
         dr_spec = (rp.get("actor_params", {}) or {}).get("ant") if self.randomize else None
+        # re-randomization frequency in env steps (base_task.py:218,228-233)
+        self.dr_frequency = int(rp.get("frequency", 1))
+        rb = (dr_spec or {}).get("rigid_body_properties", {})
+        self._dr_mass_setup_only = bool(rb.get("mass", {}).get("setup_only", False))
         self._obs_noise = _dr.noise_fn(rp.get("observations") if self.randomize else None)
         self._act_noise = _dr.noise_fn(rp.get("actions") if self.randomize else None)
 
@@ -111,10 +114,25 @@ class TenAntEnv:
         d = obs_math.box_yaw_goal_dir(box_qpos[3:7])
         return box_qpos[0:2] + self.offsets[:, None] * d
 
-    def _fresh_pipeline(self, key) -> AntSceneState:
+    def _fresh_pipeline(self, key, frame=None) -> AntSceneState:
         return reset_scene(self.spec, key, ant_start=self.ant_start,
                            box_start=jnp.array([4.0, 0.0, 1.0]),
-                           init_hinge=self.init_hinge)
+                           init_hinge=self.init_hinge, frame=frame)
+
+    def _dr_reset(self, fresh: AntSceneState, stepped: AntSceneState,
+                  prev: AntSceneState) -> AntSceneState:
+        """DR bookkeeping for a fresh episode: re-sample only when the env
+        has lived >= frequency steps since its last randomization
+        (randomize_buf gating, base_task.py:228-233); setup_only properties
+        (mass, TenAnt.yaml:101-106) keep their first-reset values."""
+        if not self.randomize:
+            return fresh
+        resample = stepped.dr_count >= self.dr_frequency
+        new_dr = select_tree(resample, fresh.dr, prev.dr)
+        if self._dr_mass_setup_only:
+            new_dr = new_dr.replace(mass=prev.dr.mass)
+        return fresh.replace(dr=new_dr,
+                             dr_count=jnp.where(resample, 0, stepped.dr_count))
 
     def _carry_of(self, pipeline: AntSceneState) -> TenAntCarry:
         return TenAntCarry(pos_before=pipeline.ant_qpos[:, 0:2],
@@ -145,7 +163,7 @@ class TenAntEnv:
         """actions: flat [80] (joint-action layout, ten_ant.py:886-891)."""
         actions = actions.reshape(10, 8)
         key, kn_a, kn_o = jax.random.split(state.key, 3)
-        applied = self._act_noise(kn_a, actions)  # DR action noise
+        applied = self._act_noise(kn_a, actions, state.pipeline.frame)
         stepped = scene_step(self.spec, state.pipeline, applied)
         return self._finish_step(stepped, actions, key, kn_o, state)
 
@@ -163,7 +181,7 @@ class TenAntEnv:
         actions = actions.reshape(E, 10, 8)
         triple = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)
         key, kn_a, kn_o = triple[:, 0], triple[:, 1], triple[:, 2]
-        applied = jax.vmap(self._act_noise)(kn_a, actions)
+        applied = jax.vmap(self._act_noise)(kn_a, actions, state.pipeline.frame)
         stepped = fused_scene_step(self.spec, state.pipeline, applied)
         return jax.vmap(self._finish_step)(stepped, actions, key, kn_o, state)
 
@@ -172,7 +190,8 @@ class TenAntEnv:
         """Everything after the physics: blowup containment, auto-reset
         overwrite, obs, reward (base_task.py:129-149 step order)."""
         key, sub = jax.random.split(key)
-        fresh = self._fresh_pipeline(sub)
+        fresh = self._dr_reset(self._fresh_pipeline(sub, frame=stepped.frame),
+                               stepped, state.pipeline)
         # failure containment: a blown-up env (f32 overflow under adversarial
         # torques) is treated as done and replaced by a fresh episode so NaNs
         # never reach the learner (SURVEY.md section 5 failure detection)
@@ -182,8 +201,12 @@ class TenAntEnv:
         carry_prev = select_tree(reset_now, self._carry_of(fresh), state.carry)
         progress = jnp.where(reset_now, 0, state.progress + 1)
 
-        obs = self._obs_noise(kn_o, self._obs(pipeline, actions))
+        # reward from the CLEAN obs; DR noise touches only the returned obs
+        # (reference order: compute_reward inside post_physics_step, noise
+        # applied afterwards in BaseTask.step, base_task.py:139-149)
+        obs = self._obs(pipeline, actions)
         reward, done = self._reward(obs, actions, pipeline, carry_prev, progress)
+        obs = self._obs_noise(kn_o, obs, pipeline.frame)
         return EnvState(pipeline=pipeline, carry=self._carry_of(pipeline),
                         progress=progress, done=done, key=key, obs=obs,
                         reward=reward)

@@ -15,6 +15,11 @@ body per env, coupled to all of the env's ants through contact wrenches) is
 integrated between kernel launches in plain XLA - it is nb=1 and costs
 nothing, and this keeps the kernel a pure per-articulation map.
 
+Domain randomization: the per-ant randomized parameters (phys/dr.DrSample:
+mass/damping/armature/joint limits) ride as ONE extra batched operand
+[n_dr, R, 128] instead of being baked - DR composes with the fused kernel at
+full speed (round 1 disabled the kernel under --randomize, a ~20x cliff).
+
 Equivalence with the array engine is tested in tests/test_pallas_substep.py
 (interpret mode on CPU) on top of the scalar<->array agreement suite
 (tests/test_fused_substep.py).
@@ -82,14 +87,40 @@ _PAD_QPOS[2] = 1000.0
 _PAD_QPOS[6] = 1.0
 
 
+def _dr_field_layout(c: sp.AntConsts):
+    """(total, slices) for the packed DrSample operand: mass[nb], damping,
+    armature, jnt_lo, jnt_hi [nj each]."""
+    nb, nj = c.nb, c.nj
+    names = [("mass", nb), ("damping", nj), ("armature", nj),
+             ("jnt_lo", nj), ("jnt_hi", nj)]
+    slices, off = {}, 0
+    for name, n in names:
+        slices[name] = (off, off + n)
+        off += n
+    return off, slices
+
+
+def _dr_pad_values(c: sp.AntConsts):
+    """Nominal parameter values for padded (parked) articulations."""
+    vals = list(c.mass) + list(c.damping) + list(c.armature) \
+        + list(c.jnt_lo) + list(c.jnt_hi)
+    return np.asarray(vals, np.float32)
+
+
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
 def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
                     cp: engine.ContactParams, plane_friction: float,
-                    aq_ref, av_ref, tau_ref, bq_ref, bv_ref,
-                    naq_ref, nav_ref, wr_ref, sens_ref):
+                    dr_slices, *refs):
+    if dr_slices is not None:
+        aq_ref, av_ref, tau_ref, bq_ref, bv_ref, dr_ref, naq_ref, nav_ref, wr_ref, sens_ref = refs
+        dr = {name: [dr_ref[i] for i in range(s, e)]
+              for name, (s, e) in dr_slices.items()}
+    else:
+        aq_ref, av_ref, tau_ref, bq_ref, bv_ref, naq_ref, nav_ref, wr_ref, sens_ref = refs
+        dr = None
     qpos = [aq_ref[i] for i in range(NQ)]
     qvel = [av_ref[i] for i in range(NV)]
     tau = [tau_ref[i] for i in range(NU)]
@@ -103,7 +134,7 @@ def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
         cp.stiffness, cp.damping, cp.friction_vel,
         plane_friction=plane_friction,
         beta=cp.beta, max_depen_vel=cp.max_depen_vel,
-        box_inv=box_inv)
+        box_inv=box_inv, dr=dr)
     for i in range(NQ):
         naq_ref[i] = nqp[i]
     for i in range(NV):
@@ -111,41 +142,48 @@ def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
     if box_he is not None:
         for i in range(6):
             wr_ref[i] = wrench[i]
-    # foot-sensor local-frame contact forces, 3 per sensor (engine reports
-    # the torque half as zero - phys/engine.py sensor_forces)
+    # foot-sensor local-frame contact wrenches, 6 per sensor (force + torque
+    # about the sensor origin - engine.sensor_forces twin)
     for s in range(c.num_sensors):
-        for k in range(3):
-            sens_ref[3 * s + k] = sens[s][k]
+        for k in range(6):
+            sens_ref[6 * s + k] = sens[s][k]
 
 
 def build_substep(c: sp.AntConsts, box_he: Optional[Tuple[float, float, float]],
                   box_inv, gravity: Tuple[float, float, float], h: float,
                   cp: engine.ContactParams, plane_friction: float,
-                  rows: int, rblk: int = 16, interpret: bool = False):
-    """Returns f(aq3, av3, tau3, bq3, bv3) -> (naq3, nav3, wrench3, sens3).
+                  rows: int, rblk: int = 16, interpret: bool = False,
+                  with_dr: bool = False):
+    """Returns f(aq3, av3, tau3, bq3, bv3[, dr3]) -> (naq3, nav3, wrench3, sens3).
 
     All operands are [n_fields, rows, 128] f32; wrench3 is [6, rows, 128]
     (zeros-shaped placeholder when there is no box); sens3 is
-    [3*num_sensors, rows, 128] local-frame foot contact forces."""
+    [6*num_sensors, rows, 128] local-frame foot contact wrenches."""
     assert rows % rblk == 0, (rows, rblk)
     grid = (rows // rblk,)
     f32 = jnp.float32
-    ns3 = max(3 * c.num_sensors, 1)
+    ns6 = max(6 * c.num_sensors, 1)
 
     def bs(n):
         return pl.BlockSpec((n, rblk, _LANES), lambda i: (0, i, 0))
 
+    dr_slices = None
+    in_specs = [bs(NQ), bs(NV), bs(NU), bs(7), bs(6)]
+    if with_dr:
+        n_dr, dr_slices = _dr_field_layout(c)
+        in_specs.append(bs(n_dr))
+
     kernel = functools.partial(_substep_kernel, c, box_he, box_inv,
-                               gravity, h, cp, plane_friction)
+                               gravity, h, cp, plane_friction, dr_slices)
     call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[bs(NQ), bs(NV), bs(NU), bs(7), bs(6)],
-        out_specs=[bs(NQ), bs(NV), bs(6), bs(ns3)],
+        in_specs=in_specs,
+        out_specs=[bs(NQ), bs(NV), bs(6), bs(ns6)],
         out_shape=[jax.ShapeDtypeStruct((NQ, rows, _LANES), f32),
                    jax.ShapeDtypeStruct((NV, rows, _LANES), f32),
                    jax.ShapeDtypeStruct((6, rows, _LANES), f32),
-                   jax.ShapeDtypeStruct((ns3, rows, _LANES), f32)],
+                   jax.ShapeDtypeStruct((ns6, rows, _LANES), f32)],
         interpret=interpret,
     )
     return call
@@ -159,14 +197,13 @@ def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 16,
                      interpret: bool | None = None):
     """Advance one control step for a BATCH of envs.
 
-    spec: AntSceneSpec (dr_spec must be None - constants are baked into the
-    kernel).  state: AntSceneState with a leading env axis on every field
-    (ant_qpos [E,A,nq], box_qpos [E,7], ...).  actions: [E, A, nu] in [-1,1].
-    Semantically identical to jax.vmap(scene_step) (tests/test_pallas_substep.py),
-    including last-substep foot-sensor forces (OneAnt observes them,
+    spec: AntSceneSpec.  state: AntSceneState with a leading env axis on
+    every field (ant_qpos [E,A,nq], box_qpos [E,7], dr leaves [E,A,...]).
+    actions: [E, A, nu] in [-1,1].  Semantically identical to
+    jax.vmap(scene_step) (tests/test_pallas_substep.py), including
+    last-substep foot-sensor wrenches (OneAnt observes them,
     /root/reference/agents/tasks/one_ant.py:610-614).
     """
-    assert spec.dr_spec is None, "fused kernel bakes model constants; DR needs the array engine"
     from massive_marl_tpu.envs.ant_scene import AntSceneState
 
     if interpret is None:
@@ -175,6 +212,7 @@ def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 16,
         interpret = jax.default_backend() not in ("tpu", "axon")
 
     sys = spec.ant_sys
+    use_dr = spec.dr_spec is not None
     E, A = actions.shape[0], spec.num_ants
     B = E * A
     rows = _rows(B, rblk)
@@ -196,13 +234,21 @@ def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 16,
         box_he = None
 
     step_k = build_substep(consts, box_he, box_inv, gravity, h, cp,
-                           float(spec.plane_friction), rows, rblk, interpret)
+                           float(spec.plane_friction), rows, rblk, interpret,
+                           with_dr=use_dr)
 
     tau_act = (actions * sys.gear * spec.power_scale).astype(jnp.float32)
 
     aq3 = pack_fields(state.ant_qpos.reshape(B, consts.nj + 7), rows, _PAD_QPOS)
     av3 = pack_fields(state.ant_qvel.reshape(B, consts.nj + 6), rows)
     tau3 = pack_fields(tau_act.reshape(B, consts.nj), rows)
+    if use_dr:
+        d = state.dr
+        dr_flat = jnp.concatenate([
+            d.mass.reshape(B, -1), d.damping.reshape(B, -1),
+            d.armature.reshape(B, -1), d.jnt_lo.reshape(B, -1),
+            d.jnt_hi.reshape(B, -1)], axis=1).astype(jnp.float32)
+        dr3 = pack_fields(dr_flat, rows, _dr_pad_values(consts))
 
     bq = state.box_qpos  # [E,7]
     bv = state.box_qvel  # [E,6]
@@ -231,17 +277,16 @@ def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 16,
     for _ in range(spec.substeps):
         bq3 = pack_box(bq, 7) if has_box else jnp.zeros((7, rows, _LANES), jnp.float32)
         bv3 = pack_box(bv, 6) if has_box else jnp.zeros((6, rows, _LANES), jnp.float32)
-        aq3, av3, wr3, sens3 = step_k(aq3, av3, tau3, bq3, bv3)
+        ops = (aq3, av3, tau3, bq3, bv3) + ((dr3,) if use_dr else ())
+        aq3, av3, wr3, sens3 = step_k(*ops)
         if has_box:
             wrench = unpack_fields(wr3, B).reshape(E, A, 6).sum(axis=1)  # [E,6]
             bq, bv = jax.vmap(box_substep)(bq, bv, wrench)
 
-    # sensors from the LAST substep only (scene_step keeps sens_hist[-1]);
-    # force in the first 3 slots, torque zero (engine.sensor_forces)
+    # sensors from the LAST substep only (scene_step keeps sens_hist[-1])
     ns = consts.num_sensors
     if ns:
-        sens_f = unpack_fields(sens3, B).reshape(E, A, ns, 3)
-        sensors = jnp.concatenate([sens_f, jnp.zeros_like(sens_f)], axis=-1)
+        sensors = unpack_fields(sens3, B).reshape(E, A, ns, 6)
     else:
         sensors = jnp.zeros_like(state.sensors)
 
@@ -251,4 +296,6 @@ def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 16,
         ant_qvel=unpack_fields(av3, B).reshape(E, A, nv),
         box_qpos=bq, box_qvel=bv,
         sensors=sensors,
-        sys=state.sys)
+        dr=state.dr,
+        dr_count=state.dr_count + 1,
+        frame=state.frame + 1)

@@ -184,23 +184,52 @@ def bake_consts(sys) -> AntConsts:
     )
 
 
+def _inv3x3_sym_t(m):
+    """Closed-form inverse of a symmetric 3x3 given as nested tuples of
+    floats/arrays (scalar twin of engine._inv3x3_sym)."""
+    a, b, cc = m[0][0], m[0][1], m[0][2]
+    d, e = m[1][1], m[1][2]
+    f = m[2][2]
+    A = d * f - e * e
+    B = cc * e - b * f
+    C = b * e - cc * d
+    det = a * A + b * B + cc * C
+    D = a * f - cc * cc
+    E = b * cc - a * e
+    F = a * d - b * b
+    inv = 1.0 / det
+    return ((A * inv, B * inv, C * inv),
+            (B * inv, D * inv, E * inv),
+            (C * inv, E * inv, F * inv))
+
+
 def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
             box_qpos: Sequence | None, box_qvel: Sequence | None,
             box_he: tuple | None, gravity: tuple, h: float,
             stiffness: float, damping_c: float, friction_vel: float,
             plane_friction: float = 1.0,
-            limit_k: float = 80.0, limit_damp: float = 2.0,
+            limit_k: float = 200.0, limit_damp: float = 20.0,
             max_ang_vel: float = 64.0, max_lin_vel: float = 200.0,
             max_dof_vel: float = 64.0,
-            beta: float | None = None, max_depen_vel: float = 1.0,
-            box_inv: tuple | None = None):
+            beta: float | None = None, max_depen_vel: float = 4.0,
+            box_inv: tuple | None = None,
+            dr: dict | None = None):
     """One physics substep in scalar form.
 
     qpos: 7+nj arrays, qvel: 6+nj arrays, tau_act: nj arrays (actuation only).
     box_*: box state broadcast per articulation (None = no box).
-    Returns (qpos', qvel', box_wrench six-tuple or None, sensor force tuples).
+    dr: optional per-articulation randomized params (domain randomization) -
+    dict of batch-array lists {mass[nb], damping[nj], armature[nj],
+    jnt_lo[nj], jnt_hi[nj]} overriding the baked constants.
+    Returns (qpos', qvel', box_wrench six-tuple or None, sensor wrench tuples
+    of (fx,fy,fz,tx,ty,tz) per sensor in the foot body frame).
     """
     nb, nj = c.nb, c.nj
+    mass = dr["mass"] if dr else list(c.mass)
+    damping = dr["damping"] if dr else list(c.damping)
+    armature = dr["armature"] if dr else list(c.armature)
+    jnt_lo = dr["jnt_lo"] if dr else list(c.jnt_lo)
+    jnt_hi = dr["jnt_hi"] if dr else list(c.jnt_hi)
     base = (qpos[0], qpos[1], qpos[2])
     base_q = (qpos[3], qpos[4], qpos[5], qpos[6])
 
@@ -241,7 +270,9 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
 
     # ---------------- contacts ----------------
     f_body = [(zero,) * 6 for _ in range(nb)]
-    sensors = [(zero, zero, zero) for _ in range(max(c.num_sensors, 1))]
+    ns_slots = max(c.num_sensors, 1)
+    sensors = [(zero, zero, zero) for _ in range(ns_slots)]
+    sensor_tq = [(zero, zero, zero) for _ in range(ns_slots)]
     box_wrench = (zero,) * 6 if box_he is not None else None
     if box_he is not None:
         bq = (box_qpos[3], box_qpos[4], box_qpos[5], box_qpos[6])
@@ -250,14 +281,19 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
         bv = (box_qvel[0], box_qvel[1], box_qvel[2])
         bw = (box_qvel[3], box_qvel[4], box_qvel[5])
 
-    # per-body world inverse inertia for the impulse clamp (host-constant
-    # body-frame inverse; engine.point_inertia is the array-form twin)
+    # per-body world inverse inertia for the contact effective mass, with the
+    # body's joint armature augmenting the rotational inertia (twin of
+    # engine.point_inertia; see engine.ContactParams docstring)
     clamp = beta is not None
     if clamp:
-        I_inv_b = [np.linalg.inv(np.array(c.inertia[b])).tolist() for b in range(nb)]
         I_inv_w = []
         for b in range(nb):
-            RI = tuple(tuple(sum(R[b][i][k] * I_inv_b[b][k][j] for k in range(3))
+            I_aug = [[c.inertia[b][i][j] for j in range(3)] for i in range(3)]
+            if b > 0 and nj > 0:
+                for i in range(3):
+                    I_aug[i][i] = I_aug[i][i] + armature[b - 1]
+            I_inv_b = _inv3x3_sym_t(tuple(tuple(row) for row in I_aug))
+            RI = tuple(tuple(sum(R[b][i][k] * I_inv_b[k][j] for k in range(3))
                              for j in range(3)) for i in range(3))
             I_inv_w.append(tuple(tuple(sum(RI[i][k] * R[b][j][k] for k in range(3))
                                        for j in range(3)) for i in range(3)))
@@ -279,7 +315,7 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
         w_fn = None
         if clamp:
             r_pt = v3_sub(p_w, com_w[b])
-            inv_m = 1.0 / c.mass[b]
+            inv_m = 1.0 / mass[b]
 
             def w_fn(d, _r=r_pt, _I=I_inv_w[b], _im=inv_m):
                 rxd = v3_cross(_r, d)
@@ -345,15 +381,21 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
         s = c.point_sensor[p_i]
         if s >= 0:
             sensors[s] = v3_add(sensors[s], f_pt)
+            # contact moment about the sensor origin (= foot body origin,
+            # reference one_ant.py:245-249 identity sensor pose)
+            sensor_tq[s] = v3_add(sensor_tq[s],
+                                  v3_cross(v3_sub(p_w, pos[b]), f_pt))
 
-    # sensor forces into foot body frames
+    # sensor wrenches into foot body frames: (force3, torque3) per sensor
     sensor_out = []
     foot_body = {}
     for p_i, (pb, s) in enumerate(zip(c.point_body, c.point_sensor)):
         if s >= 0:
             foot_body[s] = pb
     for s in range(c.num_sensors):
-        sensor_out.append(m33_mtv(R[foot_body[s]], sensors[s]))
+        f_loc = m33_mtv(R[foot_body[s]], sensors[s])
+        t_loc = m33_mtv(R[foot_body[s]], sensor_tq[s])
+        sensor_out.append((*f_loc, *t_loc))
 
     # ---------------- gravity + bias ----------------
     I_sp = []
@@ -364,7 +406,7 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
         Iw = tuple(tuple(sum(RI[i][k] * R[b][j][k] for k in range(3))
                          for j in range(3)) for i in range(3))
         cr = v3_sub(com_w[b], base)
-        m = c.mass[b]
+        m = mass[b]
         # I_O blocks: A = Iw - m cx cx ; B = m cx ; C = m I
         cx = ((zero, -cr[2], cr[1]), (cr[2], zero, -cr[0]), (-cr[1], cr[0], zero))
         cxcx = tuple(tuple(sum(cx[i][k] * cx[k][j] for k in range(3))
@@ -403,7 +445,7 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
             Mrows[i][j] = mij
             Mrows[j][i] = mij
     for j in range(6, nv):
-        Mrows[j][j] = Mrows[j][j] + c.armature[j - 6]
+        Mrows[j][j] = Mrows[j][j] + armature[j - 6]
 
     # velocity-product accel
     avp = [(zero, zero, zero, *v3_cross((qvel[0], qvel[1], qvel[2]),
@@ -416,7 +458,7 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
     fb = []
     for b in range(nb):
         cr = v3_sub(com_w[b], base)
-        fg = v3_scale(gravity, c.mass[b])
+        fg = v3_scale(gravity, mass[b])
         tg = v3_cross(cr, fg)
         f_grav = (*tg, *fg)
         bias = s6_add(I_mv(I_sp[b], avp[b]), s6_force_cross(v[b], I_mv(I_sp[b], v[b])))
@@ -426,16 +468,21 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
         fs[c.parent[b]] = s6_add(fs[c.parent[b]], fs[b])
     C = [s6_dot(phi[j], fs[c.body_of_dof[j]]) for j in range(nv)]
 
-    # hinge torques: actuation + joint limits + damping
+    # hinge torques: actuation + limit spring; joint + limit damping
+    # integrate IMPLICITLY via (M + h*D) qacc = tau - D*qd (MuJoCo-Euler
+    # style; twin of engine.forward_dynamics imp_damping), which keeps the
+    # stiff limit-boundary damping unconditionally stable
     rhs = [-C[j] for j in range(6)]
     for j in range(nj):
         q = qpos[7 + j]
         qd = qvel[6 + j]
-        below = jnp.maximum(c.jnt_lo[j] - q, 0.0)
-        above = jnp.maximum(q - c.jnt_hi[j], 0.0)
+        below = jnp.maximum(jnt_lo[j] - q, 0.0)
+        above = jnp.maximum(q - jnt_hi[j], 0.0)
         viol = (below > 0) | (above > 0)
-        t_lim = limit_k * (below - above) - jnp.where(viol, limit_damp * qd, 0.0)
-        tau_j = tau_act[j] + t_lim - c.damping[j] * qd
+        t_lim = limit_k * (below - above)
+        D_j = damping[j] + jnp.where(viol, limit_damp, 0.0)
+        Mrows[6 + j][6 + j] = Mrows[6 + j][6 + j] + h * D_j
+        tau_j = tau_act[j] + t_lim - D_j * qd
         rhs.append(tau_j - C[6 + j])
 
     # ---------------- Cholesky solve ----------------
@@ -493,27 +540,28 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
 
 
 def _contact_force(depth, normal, v_rel, friction, kn, kd, fv,
-                   w_fn=None, h=None, beta=0.2, mdv=1.0):
-    """Mirror of engine._contact_force incl. the impulse clamp.
+                   w_fn=None, h=None, beta=0.2, mdv=4.0):
+    """Mirror of engine._contact_force: implicit spring-damper normal force +
+    exact-stiction Coulomb friction (see engine.ContactParams docstring).
 
-    w_fn(d3) -> effective inverse mass along direction d (point body + other
-    body); when given together with h, the normal force is clamped so it
-    cannot push the contact past the Baumgarte bias, and friction can at most
-    stop the tangential motion within one substep."""
+    w_fn(d3) -> effective inverse mass along direction d (point body with
+    armature-augmented inertia + other body)."""
     active = (depth > 0.0).astype(depth.dtype)
     vn = v3_dot(v_rel, normal)
     vt = v3_sub(v_rel, v3_scale(normal, vn))
-    fn = jnp.maximum(kn * depth - kd * vn, 0.0) * active
     vt_norm = jnp.sqrt(v3_dot(vt, vt) + 1e-12)
-    ft_mag = jnp.minimum(friction * fn, friction * fn * vt_norm / fv)
     if w_fn is not None and h is not None:
         w_n = w_fn(normal)
         inv_vt = 1.0 / vt_norm
         t_dir = v3_scale(vt, inv_vt)
         w_t = w_fn(t_dir)
-        bias = jnp.minimum(beta * jnp.maximum(depth, 0.0) / h, mdv)
-        fn_max = jnp.maximum(bias - vn, 0.0) / (w_n * h)
-        fn = jnp.minimum(fn, fn_max)
-        ft_mag = jnp.minimum(ft_mag, jnp.minimum(friction * fn, vt_norm / (w_t * h)))
+        kh = kn * h + kd
+        fn = (kn * depth - kh * vn) / (1.0 + w_n * h * kh)
+        fn = jnp.maximum(fn, 0.0) * active
+        fn = jnp.minimum(fn, jnp.maximum(mdv - vn, 0.0) / (w_n * h))
+        ft_mag = jnp.minimum(friction * fn, vt_norm / (w_t * h))
+    else:
+        fn = jnp.maximum(kn * depth - kd * vn, 0.0) * active
+        ft_mag = jnp.minimum(friction * fn, friction * fn * vt_norm / fv)
     f = v3_sub(v3_scale(normal, fn), v3_scale(vt, ft_mag / vt_norm))
     return f

@@ -3,15 +3,28 @@
 The reference's DR engine (BaseTask.apply_randomizations,
 agents/tasks/agent_base/base_task.py:216-410) mutates simulator properties
 through IsaacGym setters, gated by `randomize_buf` at a configured frequency
-(cfg/TenAnt.yaml:84-121).  The TPU-native formulation: physical parameters
-live in the `System` pytree, so a randomized system is just a sampled copy -
-envs store it in their per-env state and the engine consumes it like any
-other input.  Re-randomization happens at reset (the reference also only
-applies DR at reset time, ten_ant.py:811-813).
+(cfg/TenAnt.yaml:84-121).  The TPU-native formulation: the randomized
+physical parameters live in a small `DrSample` pytree stored per-ant in the
+scene state - the engines consume it like any other input (the fused Pallas
+substep takes it as a batched operand, ops/fused_substep.py), so DR composes
+with the fast kernel instead of disabling it.
 
-Supported spec (the subset the ant yamls use): uniform/gaussian, additive/
-scaling, for rigid_body mass, dof damping/stiffness(armature)/limits, plus
-per-step observation/action additive noise.
+Reference semantics implemented here:
+  * uniform/gaussian distributions, additive/scaling operations
+    (base_task.py:262-314)
+  * linear/constant schedules: the sampled range ramps in over
+    `schedule_steps` frames (additive ranges scale toward full, scaling
+    ranges interpolate from the identity, base_task.py:254-277)
+  * `setup_only` properties (mass in TenAnt.yaml:101-106) are sampled once
+    at the env's first reset and kept across re-randomizations
+  * re-randomization happens at reset, gated by `frequency`: an env
+    re-samples only when >= frequency steps have passed since its last
+    randomization (randomize_buf semantics, base_task.py:228-233); the envs
+    hold the previous sample otherwise
+  * per-step observation/action white noise (base_task.py:245-300); the
+    reference re-bakes the noise lambda every `frequency` steps, which only
+    matters when a schedule is set - here the schedule scaling is evaluated
+    continuously
 """
 from __future__ import annotations
 
@@ -19,70 +32,117 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from .system import System
 
 
-def _sample(key, dist: str, rng, shape):
-    lo, hi = float(rng[0]), float(rng[1])
-    if dist == "gaussian":
+@struct.dataclass
+class DrSample:
+    """One articulation's randomized physical parameters."""
+    mass: jnp.ndarray      # [nb]
+    damping: jnp.ndarray   # [nj]
+    armature: jnp.ndarray  # [nj]  (dof "stiffness" slot in the yaml spec)
+    jnt_lo: jnp.ndarray    # [nj]
+    jnt_hi: jnp.ndarray    # [nj]
+
+    @classmethod
+    def identity(cls, sys: System) -> "DrSample":
+        return cls(mass=sys.mass, damping=sys.damping, armature=sys.armature,
+                   jnt_lo=sys.jnt_range[:, 0], jnt_hi=sys.jnt_range[:, 1])
+
+    def apply(self, sys: System) -> System:
+        """System with this sample's parameters substituted."""
+        return sys.replace(mass=self.mass, damping=self.damping,
+                           armature=self.armature,
+                           jnt_range=jnp.stack([self.jnt_lo, self.jnt_hi], axis=-1))
+
+
+def sched_scaling(prop: Dict[str, Any], frame):
+    """Schedule ramp in [0, 1] (base_task.py:254-259, 291-296): 'linear'
+    ramps over schedule_steps frames, 'constant' switches on at
+    schedule_steps, no schedule = 1."""
+    sched = prop.get("schedule")
+    if not sched:
+        return 1.0
+    steps = float(prop.get("schedule_steps", 1))
+    f = jnp.asarray(frame, jnp.float32)
+    if sched == "linear":
+        return jnp.minimum(f, steps) / steps
+    return (f >= steps).astype(jnp.float32)  # 'constant'
+
+
+def _sample(key, prop: Dict[str, Any], shape, frame=None):
+    """Draw the randomization factor with schedule-scaled ranges
+    (base_task.py:262-300): additive ranges scale toward full strength,
+    scaling ranges interpolate from the identity (1.0)."""
+    lo, hi = (float(x) for x in prop["range"])
+    op = prop.get("operation", "scaling")
+    s = sched_scaling(prop, frame) if frame is not None else 1.0
+    if op == "scaling":
+        lo = lo * s + 1.0 * (1 - s)
+        hi = hi * s + 1.0 * (1 - s)
+    else:
+        lo, hi = lo * s, hi * s
+    if prop.get("distribution", "uniform") == "gaussian":
         return lo + hi * jax.random.normal(key, shape)
     return jax.random.uniform(key, shape, minval=lo, maxval=hi)
 
 
-def _apply(op: str, value, factor):
-    return value * factor if op == "scaling" else value + factor
+def _apply(prop: Dict[str, Any], value, factor):
+    return value * factor if prop.get("operation", "scaling") == "scaling" else value + factor
 
 
-def randomize_system(sys: System, key: jnp.ndarray, spec: Dict[str, Any]) -> System:
-    """Sample a randomized copy of `sys` (one env; vmap for a batch).
+def sample_dr(sys: System, key: jnp.ndarray, spec: Dict[str, Any],
+              frame=None, skip_setup_only: bool = False) -> DrSample:
+    """Sample a DrSample for ONE articulation (vmap over ants for a scene).
 
     spec: the `actor_params.ant` subtree of randomization_params
-    (TenAnt.yaml:95-121)."""
-    out = sys
+    (TenAnt.yaml:97-121).  skip_setup_only: leave `setup_only` properties at
+    their nominal values (callers then keep the previous sample's values for
+    those fields, matching base_task's first_randomization-only handling)."""
+    out = DrSample.identity(sys)
     rb = spec.get("rigid_body_properties", {})
-    if "mass" in rb:
+    if "mass" in rb and not (skip_setup_only and rb["mass"].get("setup_only", False)):
         key, k = jax.random.split(key)
-        m = rb["mass"]
-        f = _sample(k, m.get("distribution", "uniform"), m["range"], sys.mass.shape)
-        out = out.replace(mass=_apply(m.get("operation", "scaling"), sys.mass, f))
+        f = _sample(k, rb["mass"], sys.mass.shape, frame)
+        out = out.replace(mass=_apply(rb["mass"], sys.mass, f))
     dof = spec.get("dof_properties", {})
-    if "damping" in dof and sys.nj > 0:
-        key, k = jax.random.split(key)
-        d = dof["damping"]
-        f = _sample(k, d.get("distribution", "uniform"), d["range"], sys.damping.shape)
-        out = out.replace(damping=_apply(d.get("operation", "scaling"), sys.damping, f))
-    if "stiffness" in dof and sys.nj > 0:
-        key, k = jax.random.split(key)
-        s = dof["stiffness"]
-        f = _sample(k, s.get("distribution", "uniform"), s["range"], sys.armature.shape)
-        out = out.replace(armature=_apply(s.get("operation", "scaling"), sys.armature, f))
-    if ("lower" in dof or "upper" in dof) and sys.nj > 0:
-        rng_ = out.jnt_range
+    if sys.nj > 0:
+        if "damping" in dof:
+            key, k = jax.random.split(key)
+            f = _sample(k, dof["damping"], out.damping.shape, frame)
+            out = out.replace(damping=_apply(dof["damping"], sys.damping, f))
+        if "stiffness" in dof:
+            key, k = jax.random.split(key)
+            f = _sample(k, dof["stiffness"], out.armature.shape, frame)
+            out = out.replace(armature=_apply(dof["stiffness"], sys.armature, f))
         if "lower" in dof:
             key, k = jax.random.split(key)
-            lo = dof["lower"]
-            f = _sample(k, lo.get("distribution", "gaussian"), lo["range"], (sys.nj,))
-            rng_ = rng_.at[:, 0].set(_apply(lo.get("operation", "additive"), rng_[:, 0], f))
+            f = _sample(k, dof["lower"], (sys.nj,), frame)
+            out = out.replace(jnt_lo=_apply(dof["lower"], sys.jnt_range[:, 0], f))
         if "upper" in dof:
             key, k = jax.random.split(key)
-            up = dof["upper"]
-            f = _sample(k, up.get("distribution", "gaussian"), up["range"], (sys.nj,))
-            rng_ = rng_.at[:, 1].set(_apply(up.get("operation", "additive"), rng_[:, 1], f))
-        out = out.replace(jnt_range=rng_)
+            f = _sample(k, dof["upper"], (sys.nj,), frame)
+            out = out.replace(jnt_hi=_apply(dof["upper"], sys.jnt_range[:, 1], f))
     return out
 
 
+def randomize_system(sys: System, key: jnp.ndarray, spec: Dict[str, Any]) -> System:
+    """Sampled System copy (kept for tools/tests; the scene steppers carry
+    DrSample instead so the fused kernel can take it as an operand)."""
+    return sample_dr(sys, key, spec).apply(sys)
+
+
 def noise_fn(spec: Dict[str, Any] | None):
-    """Per-step additive noise lambda for obs/actions (base_task.py:262-300).
+    """Per-step additive/scaling noise lambda for obs/actions
+    (base_task.py:245-314), schedule-aware.
 
-    Returns f(key, x) -> x + noise (identity when spec is None)."""
+    Returns f(key, x, frame=None) -> noised x (identity when spec is None)."""
     if not spec:
-        return lambda key, x: x
-    dist = spec.get("distribution", "gaussian")
-    rng = spec["range"]
+        return lambda key, x, frame=None: x
 
-    def f(key, x):
-        return x + _sample(key, dist, rng, x.shape)
+    def f(key, x, frame=None):
+        return _apply(spec, x, _sample(key, spec, x.shape, frame))
 
     return f

@@ -145,12 +145,19 @@ def fwd_kinematics(sys: System, qpos: jnp.ndarray, qvel: jnp.ndarray) -> FK:
 
 def forward_dynamics(sys: System, fk: FK, qvel: jnp.ndarray, tau_hinge: jnp.ndarray,
                      f_ext: Sequence[jnp.ndarray], gravity: jnp.ndarray,
-                     fixed_base: bool = False) -> jnp.ndarray:
+                     fixed_base: bool = False,
+                     imp_damping: jnp.ndarray | None = None,
+                     h: float | None = None) -> jnp.ndarray:
     """qacc [nv] given hinge torques and per-body external spatial forces.
 
     f_ext: sequence of nb base-origin spatial forces [6] (contacts, thrust) -
     build them with `point_force_spatial(point, force, fk.base)`.
     fixed_base: solve only the hinge block (base welded to the world).
+    imp_damping: optional [nj] viscous coefficients integrated IMPLICITLY
+    (MuJoCo-Euler style): solves (M + h*D) qacc = tau - D qd - C, which is
+    unconditionally stable for any damping magnitude - the explicit penalty
+    damping bound h < 2*I/d is what made stiff joint-limit damping blow up.
+    Callers must NOT also subtract D*qd from tau_hinge.
     """
     qd = qvel
     body_of_dof, chains = dof_chains(sys)
@@ -175,6 +182,9 @@ def forward_dynamics(sys: System, fk: FK, qvel: jnp.ndarray, tau_hinge: jnp.ndar
     armature = [None] * 6 + [sys.armature[j] for j in range(sys.nj)]
     for j in range(6, sys.nv):
         Mrows[j][j] = Mrows[j][j] + armature[j]
+    if imp_damping is not None:
+        for j in range(sys.nj):
+            Mrows[6 + j][6 + j] = Mrows[6 + j][6 + j] + h * imp_damping[j]
 
     # ---- velocity-product accelerations (zeta recursion) ----
     v_b_lin = qd[0:3]
@@ -199,6 +209,9 @@ def forward_dynamics(sys: System, fk: FK, qvel: jnp.ndarray, tau_hinge: jnp.ndar
     C = [jnp.sum(fk.phi[j] * fs[body_of_dof[j]], axis=-1) for j in range(sys.nv)]
 
     rhs = [(-C[j] if j < 6 else tau_hinge[j - 6] - C[j]) for j in range(sys.nv)]
+    if imp_damping is not None:
+        for j in range(sys.nj):
+            rhs[6 + j] = rhs[6 + j] - imp_damping[j] * qd[6 + j]
     lo = 6 if fixed_base else 0
     x = cholesky_solve_rows(Mrows, rhs, lo, sys.nv)
     if fixed_base:
@@ -253,7 +266,9 @@ def point_force_spatial(point: jnp.ndarray, force: jnp.ndarray, base: jnp.ndarra
 
 def joint_limit_torque(sys: System, qpos: jnp.ndarray, qvel: jnp.ndarray,
                        k: float = 80.0, damp: float = 2.0) -> jnp.ndarray:
-    """Penalty torque pushing hinge dofs back inside [lower, upper]."""
+    """Penalty torque pushing hinge dofs back inside [lower, upper].
+    Legacy fully-explicit form (kept for tests/tools); the scene steppers use
+    `joint_limit_spring` + implicit damping via forward_dynamics."""
     if sys.nj == 0:
         return jnp.zeros(0)
     q = qpos[7:]
@@ -264,6 +279,30 @@ def joint_limit_torque(sys: System, qpos: jnp.ndarray, qvel: jnp.ndarray,
     above = jnp.maximum(q - hi, 0.0)
     viol = (below > 0) | (above > 0)
     return k * (below - above) - jnp.where(viol, damp * qd, 0.0)
+
+
+# joint-limit penalty constants.  The spring must stay inside the explicit
+# stability bound (sqrt(k/I_min)*h < ~1), but the damping is integrated
+# implicitly (forward_dynamics imp_damping), so it can be large enough to
+# kill the limit-boundary chatter that an explicit one-sided spring causes.
+LIMIT_K = 200.0
+LIMIT_DAMP = 20.0
+
+
+def joint_limit_spring(sys_or_range, qpos: jnp.ndarray,
+                       k: float = LIMIT_K, damp: float = LIMIT_DAMP):
+    """(spring torque [nj], active damping coef [nj]) for the hinge limits.
+    The caller adds the spring to tau and feeds the damping coefficient into
+    forward_dynamics' imp_damping (together with the joint's own viscous
+    damping)."""
+    jnt_range = getattr(sys_or_range, "jnt_range", sys_or_range)
+    q = qpos[7:]
+    lo = jnt_range[:, 0]
+    hi = jnt_range[:, 1]
+    below = jnp.maximum(lo - q, 0.0)
+    above = jnp.maximum(q - hi, 0.0)
+    viol = (below > 0) | (above > 0)
+    return k * (below - above), jnp.where(viol, damp, 0.0)
 
 
 def integrate(sys: System, qpos: jnp.ndarray, qvel: jnp.ndarray, qacc: jnp.ndarray,
@@ -292,21 +331,30 @@ class ContactParams(NamedTuple):
     """Contact constants (stand-in for the PhysX TGS solver configured at
     /root/reference/cfg/TenAnt.yaml:67-76).
 
-    The base model is a penalty spring-damper, but when the caller supplies
-    the substep `h` and per-point inertia (`PointInertia`), every force is
-    additionally **impulse-clamped** by the contact's effective mass: the
-    normal force may not drive the relative normal velocity past the
-    Baumgarte bias `beta*depth/h` (capped at `max_depen_vel`, PhysX's
-    maxDepenetrationVelocity), and friction may at most stop the tangential
-    motion within one substep.  That removes the explicit-integration
-    stability bound h < 2*m_eff/damping entirely (the ant's foot capsules
-    weigh ~0.05 kg, which made the raw spring-damper launch ants at 4-6
-    substeps), so the substep count is a pure accuracy knob."""
-    stiffness: float = 2500.0
-    damping: float = 25.0
-    friction_vel: float = 0.3    # tangential velocity scale for friction ramp
-    beta: float = 0.2            # Baumgarte positional-correction factor
-    max_depen_vel: float = 1.0   # cap on the push-out bias velocity [m/s]
+    When the caller supplies the substep `h` and per-point inertia
+    (`PointInertia`), the normal force is the EXACT IMPLICIT EULER solution
+    of the 1-dof contact spring-damper along the point's effective mass:
+
+        fn = (kn*d - (kn*h + kd)*vn) / (1 + w*h*(kn*h + kd))
+
+    which is unconditionally stable for any stiffness, so kn can be
+    near-rigid (1e5) like the PhysX TGS solver the reference runs - the
+    round-1 explicit spring at kn=2500 let a dropped ant's torso sink ~0.1 m
+    below its stance during landing (MuJoCo ground truth dips 0.027 m).
+    Friction is Coulomb with EXACT one-substep stiction: ft <= vt/(w_t*h)
+    (the force that stops the tangential motion), removing the round-1
+    viscous ramp that let loaded feet creep sideways.  `max_depen_vel` caps
+    the separation velocity a normal impulse may produce (PhysX's
+    maxDepenetrationVelocity).
+
+    Without (pi, h) the legacy explicit spring-damper + ramped friction is
+    used (stiffness/damping/friction_vel then read their explicit meaning).
+    """
+    stiffness: float = 1.0e5
+    damping: float = 300.0
+    friction_vel: float = 0.3    # tangential velocity scale (legacy path)
+    beta: float = 0.2            # Baumgarte factor (legacy path)
+    max_depen_vel: float = 4.0   # cap on the separation velocity [m/s]
 
 
 class PointInertia(NamedTuple):
@@ -332,13 +380,23 @@ def _inv3x3_sym(I: jnp.ndarray) -> jnp.ndarray:
 
 
 def point_inertia(sys: System, fk: FK, p_w: jnp.ndarray) -> PointInertia:
-    """Effective-mass info for every contact sample point, using only the
-    point's own body (a conservative underestimate of the articulated
-    operational-space inertia - the clamp errs soft, never unstable)."""
+    """Effective-mass info for every contact sample point: the point's own
+    body, with the body's joint ARMATURE added to its rotational inertia.
+
+    A foot capsule's own com inertia is ~6e-4 while its hinge rotor inertia
+    (armature) is 1e-2 - without the augmentation the free-body estimate says
+    a fingertip push spins the foot ~20x more easily than the articulation
+    actually allows, which made the contact solver throttle landing impacts
+    to ~5 N/point and let the torso sink through its stance (see
+    ContactParams docstring)."""
     inv_m, inv_I, r = [], [], []
+    eye3 = jnp.eye(3)
     for b, s, e in _point_ranges(sys):
         k = e - s
-        I_inv_b = _inv3x3_sym(sys.inertia[b])
+        I_b = sys.inertia[b]
+        if b > 0 and sys.nj > 0:
+            I_b = I_b + sys.armature[b - 1] * eye3
+        I_inv_b = _inv3x3_sym(I_b)
         I_inv_w = mm(mm(fk.R[b], I_inv_b), jnp.swapaxes(fk.R[b], -1, -2))
         inv_m.append(jnp.broadcast_to(1.0 / sys.mass[b], (k,)))
         inv_I.append(jnp.broadcast_to(I_inv_w, (k, 3, 3)))
@@ -390,17 +448,14 @@ def _contact_force(depth, normal, v_rel, friction, cp: ContactParams,
                    pi: PointInertia | None = None, h=None, w_extra_fn=None):
     """Force on body A for one contact candidate (zero when not touching).
 
-    With (pi, h) given, the spring-damper force is impulse-clamped by the
-    contact's effective mass (see ContactParams docstring).  w_extra_fn(d)
-    optionally adds the other body's inverse mass along direction d (two-body
-    contacts, e.g. ant foot vs push-box)."""
+    With (pi, h) given: implicit spring-damper normal force + exact-stiction
+    Coulomb friction (see ContactParams docstring).  w_extra_fn(d) optionally
+    adds the other body's inverse mass along direction d (two-body contacts,
+    e.g. ant foot vs push-box)."""
     active = depth > 0.0
     vn = jnp.sum(v_rel * normal, axis=-1)
     vt = v_rel - vn[..., None] * normal
-    fn = cp.stiffness * depth - cp.damping * vn
-    fn = jnp.clip(fn, 0.0, None) * active
     vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-12)
-    ft_mag = jnp.minimum(friction * fn, friction * fn * vt_norm / cp.friction_vel)
     if pi is not None and h is not None:
         w_n = inv_mass_along(pi, normal)
         t_dir = vt / vt_norm[..., None]
@@ -408,10 +463,16 @@ def _contact_force(depth, normal, v_rel, friction, cp: ContactParams,
         if w_extra_fn is not None:
             w_n = w_n + w_extra_fn(normal)
             w_t = w_t + w_extra_fn(t_dir)
-        bias = jnp.minimum(cp.beta * jnp.maximum(depth, 0.0) / h, cp.max_depen_vel)
-        fn_max = jnp.maximum(bias - vn, 0.0) / (w_n * h)
-        fn = jnp.minimum(fn, fn_max)
-        ft_mag = jnp.minimum(ft_mag, jnp.minimum(friction * fn, vt_norm / (w_t * h)))
+        kh = cp.stiffness * h + cp.damping
+        fn = (cp.stiffness * depth - kh * vn) / (1.0 + w_n * h * kh)
+        fn = jnp.clip(fn, 0.0, None) * active
+        # cap the separation velocity an impulse may produce
+        fn = jnp.minimum(fn, jnp.maximum(cp.max_depen_vel - vn, 0.0) / (w_n * h))
+        ft_mag = jnp.minimum(friction * fn, vt_norm / (w_t * h))
+    else:
+        fn = cp.stiffness * depth - cp.damping * vn
+        fn = jnp.clip(fn, 0.0, None) * active
+        ft_mag = jnp.minimum(friction * fn, friction * fn * vt_norm / cp.friction_vel)
     ft = -ft_mag[..., None] * vt / vt_norm[..., None]
     return fn[..., None] * normal + ft
 
@@ -486,24 +547,34 @@ def accumulate_body_forces(sys: System, p_w: jnp.ndarray, f_w: jnp.ndarray,
     return per_body
 
 
-def sensor_forces(sys: System, f_w: jnp.ndarray, fk: FK) -> jnp.ndarray:
+def sensor_forces(sys: System, f_w: jnp.ndarray, fk: FK,
+                  p_w: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-foot contact wrench in the foot body frame: [num_sensors, 6]
-    (force, torque) - the TPU analogue of IsaacGym force sensors
-    (ten_ant.py:414-438, obs slice one_ant.py:610-614).  Torque is reported
-    as zero (the reference scales sensors by 0.1 into obs only)."""
+    (force, torque about the sensor origin) - the TPU analogue of IsaacGym
+    force sensors created at the foot body origin with an identity transform
+    (one_ant.py:245-249, ten_ant.py:414-438; obs slice one_ant.py:610-614).
+
+    p_w: contact point world positions; when given, the torque channels
+    carry the real contact moment sum((p - foot_origin) x f) rotated into the
+    foot frame (round 1 reported them as zero)."""
     if sys.num_sensors == 0:
         return jnp.zeros((0, 6))
     ns = sys.num_sensors
     f_world = [jnp.zeros(3)] * ns
+    t_world = [jnp.zeros(3)] * ns
     foot_body = [0] * ns
     for p, (pb, s) in enumerate(zip(sys.point_body, sys.point_sensor)):
         if s >= 0:
             f_world[s] = f_world[s] + f_w[p]
+            if p_w is not None:
+                t_world[s] = t_world[s] + jnp.cross(p_w[p] - fk.pos[pb], f_w[p])
             foot_body[s] = pb
     out = []
     for s in range(ns):
-        f_local = jnp.sum(fk.R[foot_body[s]] * f_world[s][:, None], axis=0)
-        out.append(jnp.concatenate([f_local, jnp.zeros(3)]))
+        R = fk.R[foot_body[s]]
+        f_local = jnp.sum(R * f_world[s][:, None], axis=0)
+        t_local = jnp.sum(R * t_world[s][:, None], axis=0)
+        out.append(jnp.concatenate([f_local, t_local]))
     return jnp.stack(out)
 
 

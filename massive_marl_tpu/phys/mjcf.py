@@ -150,7 +150,10 @@ def parse_mjcf(path: str) -> MjcfModel:
             if locked:
                 continue
             jnt_names.append(j.get("name", f"joint{len(jnt_names)}"))
-            jnt_axis.append(_fvec(j.get("axis", "0 0 1"), 3))
+            # normalize: MJCF axes need not be unit (nv_ant ankles are
+            # "-1 1 0"); the engine's axis-angle math assumes |axis| = 1
+            ax = _fvec(j.get("axis", "0 0 1"), 3)
+            jnt_axis.append(ax / np.linalg.norm(ax))
             jnt_pos.append(_fvec(j.get("pos", "0 0 0"), 3))
             if rng is not None:
                 jnt_range.append(_fvec(rng, 2) * ang)

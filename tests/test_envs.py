@@ -156,12 +156,46 @@ def test_domain_randomization():
     s1 = env.reset(jax.random.PRNGKey(0))
     s2 = env.reset(jax.random.PRNGKey(1))
     # randomized masses differ between envs and from the nominal system
-    m1 = np.array(s1.pipeline.sys.mass)
-    m2 = np.array(s2.pipeline.sys.mass)
+    m1 = np.array(s1.pipeline.dr.mass)   # [A=1, nb]
+    m2 = np.array(s2.pipeline.dr.mass)
     m0 = np.array(env.spec.ant_sys.mass)
     assert not np.allclose(m1, m2)
-    assert not np.allclose(m1, m0)
+    assert not np.allclose(m1[0], m0)
     assert (m1 > 0.5 * m0 - 1e-6).all() and (m1 < 1.5 * m0 + 1e-6).all()
-    # stepping works with the randomized system
+    # stepping works with the randomized parameters
     st = jax.jit(env.step)(s1, jnp.zeros(8))
     assert np.isfinite(np.array(st.obs)).all()
+    # frequency gating: OneAnt.yaml frequency=600 means an env that dies
+    # early keeps its sample (randomize_buf semantics, base_task.py:228-233);
+    # mass is setup_only so it persists across re-randomizations regardless
+    assert env.dr_frequency >= 1
+    assert env._dr_mass_setup_only == bool(
+        cfg["task"]["randomization_params"]["actor_params"]["ant"]
+        ["rigid_body_properties"]["mass"].get("setup_only", False))
+    done_state = st.replace(done=jnp.asarray(True))
+    st2 = jax.jit(env.step)(done_state, jnp.zeros(8))
+    # after an auto-reset before `frequency` steps, the DR sample is kept
+    np.testing.assert_allclose(np.array(st2.pipeline.dr.damping),
+                               np.array(s1.pipeline.dr.damping), rtol=1e-6)
+    np.testing.assert_allclose(np.array(st2.pipeline.dr.mass), m1, rtol=1e-6)
+
+
+def test_foot_sensor_torque_channels_live():
+    """The 24 foot-sensor obs dims (one_ant.py:610-614) carry a full wrench:
+    both the force AND torque triplets must be non-degenerate once the ant
+    stands (round 1 hard-zeroed the torque half; VERDICT r1 item 8 - the
+    IsaacGym sensor at the foot origin reports the contact moment too)."""
+    env = OneAntEnv({"sim": {"substeps": 3}})
+    st = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(60):
+        st = step(st, jnp.zeros(8))
+    sens = np.asarray(st.pipeline.sensors)        # [1, 4, 6]
+    forces, torques = sens[0, :, 0:3], sens[0, :, 3:6]
+    assert np.abs(forces).max() > 1e-3, "feet should carry contact force at rest"
+    assert np.abs(torques).max() > 1e-5, "contact moment about the sensor origin"
+    # and they flow into the obs block (indices 28:52, 6 per sensor)
+    obs = np.asarray(st.obs)
+    wrench_obs = obs[28:52].reshape(4, 6)
+    np.testing.assert_allclose(wrench_obs, sens[0] * env.contact_force_scale,
+                               rtol=1e-5, atol=1e-6)

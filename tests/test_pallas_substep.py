@@ -90,3 +90,35 @@ def test_step_batch_default_path_is_vmap():
     a = jax.jit(env.step_batch)(s, actions)
     b = jax.jit(jax.vmap(env.step))(s, actions)
     np.testing.assert_array_equal(np.asarray(a.obs), np.asarray(b.obs))
+
+
+@heavy
+def test_fused_scene_step_matches_engine_with_dr():
+    """DR operand path: fused kernel with per-ant randomized params must
+    agree with the array engine consuming the same DrSample (round-1
+    disabled the kernel under DR; VERDICT r1 item 3)."""
+    import yaml
+    from massive_marl_tpu.utils.config import CFG_ROOT
+    with open(os.path.join(CFG_ROOT, "TenAnt.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["task"]["randomize"] = True
+    cfg["sim"] = {"substeps": 2}
+    env = TenAntEnv(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(7), E)
+    st = jax.vmap(env._fresh_pipeline)(keys)
+    # randomized params really vary across ants/envs
+    assert st.dr.mass.shape[:2] == (E, 10)
+    assert float(jnp.std(st.dr.mass)) > 0
+
+    actions = jax.random.uniform(jax.random.PRNGKey(8), (E, 10, 8),
+                                 minval=-1.0, maxval=1.0)
+    ref = jax.jit(jax.vmap(lambda s, a: scene_step(env.spec, s, a)))(st, actions)
+    got = jax.jit(lambda s, a: fs.fused_scene_step(env.spec, s, a, interpret=True))(
+        st, actions)
+    np.testing.assert_allclose(np.asarray(got.ant_qpos), np.asarray(ref.ant_qpos),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.ant_qvel), np.asarray(ref.ant_qvel),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(got.sensors), np.asarray(ref.sensors),
+                               rtol=5e-3, atol=5e-2)
+    np.testing.assert_array_equal(np.asarray(got.dr_count), np.asarray(ref.dr_count))

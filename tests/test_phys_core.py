@@ -154,11 +154,14 @@ def test_ant_drop_settles_on_plane():
         qpos, qvel = carry
         fk = engine.fwd_kinematics(sys, qpos, qvel)
         p_w, v_w, body = engine.points_world(sys, fk)
+        # production path: implicit contact with the point effective mass
+        pi = engine.point_inertia(sys, fk, p_w)
         f_pts = engine.contact_plane(p_w, v_w, sys.point_radius,
-                                     sys.point_friction, cp)
+                                     sys.point_friction, cp, pi=pi, h=dt)
         f_ext = engine.accumulate_body_forces(sys, p_w, f_pts, fk.base)
-        tau = engine.joint_limit_torque(sys, qpos, qvel)
-        qacc = engine.forward_dynamics(sys, fk, qvel, tau, f_ext, GRAV)
+        t_lim, d_lim = engine.joint_limit_spring(sys, qpos)
+        qacc = engine.forward_dynamics(sys, fk, qvel, t_lim, f_ext, GRAV,
+                                       imp_damping=sys.damping + d_lim, h=dt)
         qpos2, qvel2 = engine.integrate(sys, qpos, qvel, qacc, dt)
         return (qpos2, qvel2), qpos2[2]
 
@@ -169,8 +172,9 @@ def test_ant_drop_settles_on_plane():
     (qpos, qvel), zs = run(qpos, qvel)
     zs = np.array(zs)
     # torso must settle at a standing height: above termination height 0.31
-    # (cfg/TenAnt.yaml:51) and below start height
-    assert 0.31 < zs[-1] < 0.8, f"final z {zs[-1]}"
+    # (cfg/TenAnt.yaml:51) and below start height.  MuJoCo ground truth for
+    # this asset rests at z = 0.3612 (tests/test_mujoco_xval.py provenance).
+    assert 0.31 < zs[-1] < 0.45, f"final z {zs[-1]}"
     assert abs(zs[-1] - zs[-60]) < 0.02
     assert np.isfinite(np.array(qpos)).all()
     assert np.isfinite(np.array(qvel)).all()
