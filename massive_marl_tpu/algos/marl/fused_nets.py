@@ -8,16 +8,18 @@ of a vmap, and each Dense->ELU->LayerNorm block runs as one fused kernel
 trees are the ordinary jax.vmap-initialized flax variables - every leaf has
 a leading N axis - so checkpoints and the flax path stay interchangeable.
 
-Gradients flow through a custom VJP (reverse-mode only): HATRPO's
-Fisher-vector products need forward-mode and keep the flax path
-(runner.py trpo_actor_update).
+Gradients flow through a custom VJP (reverse-mode only).  HATRPO's
+Fisher-vector products use `actor_apply_jvp` below - a MANUAL directional
+tangent (fused forward kernels + plain-XLA tangent from the saved
+activations) composed with the custom-VJP pullback via the Gauss-Newton
+identity F v = J^T M (J v) (runner.py trpo_actor_update).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from massive_marl_tpu.ops.fused_mlp import mlp_base_stacked
+from massive_marl_tpu.ops.fused_mlp import mlp_base_stacked, mlp_base_stacked_jvp
 
 
 def actor_apply(variables: dict, obs: jnp.ndarray, *,
@@ -38,6 +40,34 @@ def actor_apply(variables: dict, obs: jnp.ndarray, *,
         + head["bias"][:, None, :]
     std = jax.nn.sigmoid(p["std_param"] / std_x_coef) * std_y_coef  # [N, act]
     return mean, jnp.broadcast_to(std[:, None, :], mean.shape)
+
+
+def actor_apply_jvp(variables: dict, dvariables: dict, obs: jnp.ndarray, *,
+                    std_x_coef: float = 1.0, std_y_coef: float = 0.5,
+                    layer_n: int = 2, prenormed: bool = False,
+                    interpret: bool | None = None):
+    """actor_apply + its parameter-directional tangent (manual JVP).
+
+    dvariables: tangent tree with the same structure as variables.  Returns
+    (mean, std, dmean, dstd) - the obs tangent is zero.  No AD registration:
+    runner.py's trpo_actor_update composes this with the custom-VJP pullback
+    into a Gauss-Newton Fisher-vector product."""
+    p, dp = variables["params"], dvariables["params"]
+    h, dh = mlp_base_stacked_jvp(p["MLPBase_0"], dp["MLPBase_0"], obs,
+                                 layer_n=layer_n, prenormed=prenormed,
+                                 interpret=interpret)
+    head, dhead = p["Dense_0"], dp["Dense_0"]
+    hf = h.astype(jnp.float32)
+    mean = jnp.einsum("nbh,nho->nbo", hf, head["kernel"]) + head["bias"][:, None, :]
+    dmean = jnp.einsum("nbh,nho->nbo", dh, head["kernel"]) \
+        + jnp.einsum("nbh,nho->nbo", hf, dhead["kernel"]) \
+        + dhead["bias"][:, None, :]
+    s = jax.nn.sigmoid(p["std_param"] / std_x_coef)
+    std = s * std_y_coef
+    dstd = s * (1.0 - s) * dp["std_param"] / std_x_coef * std_y_coef
+    std_b = jnp.broadcast_to(std[:, None, :], mean.shape)
+    dstd_b = jnp.broadcast_to(dstd[:, None, :], mean.shape)
+    return mean, std_b, dmean, dstd_b
 
 
 def critic_apply(variables: dict, x: jnp.ndarray, *, layer_n: int = 2,

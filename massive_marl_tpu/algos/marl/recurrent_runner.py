@@ -52,7 +52,8 @@ class RecurrentMarlTrainState:
 
 class RecurrentMarlRunner(MarlRunner):
     def __init__(self, env, num_envs: int, cfg: MarlConfig | None = None,
-                 seed: int = 0, log_dir: str | None = None, print_log: bool = True):
+                 seed: int = 0, log_dir: str | None = None, print_log: bool = True,
+                 mesh=None):
         cfg = cfg or MarlConfig()
         self.H = cfg.hidden_size
         L = cfg.data_chunk_length
@@ -63,7 +64,7 @@ class RecurrentMarlRunner(MarlRunner):
                 f"whole chunks, separated_buffer.py:312-425)")
         # build the recurrent nets FIRST, then reuse the parent's plumbing
         self._rnn_ready = False
-        super().__init__(env, num_envs, cfg, seed, log_dir, print_log)
+        super().__init__(env, num_envs, cfg, seed, log_dir, print_log, mesh=mesh)
         c = self.cfg
         self.actor = nets.MarlActorRNN(act_dim=self.act_dim, hidden_size=c.hidden_size,
                                        layer_n=c.layer_n, gain=c.gain,
@@ -102,6 +103,12 @@ class RecurrentMarlRunner(MarlRunner):
         env = self.env
         N, E, T, H = self.N, self.num_envs, cfg.episode_length, self.H
         actor, critic = self.actor, self.critic
+        env_step_fn = batched_step(env)
+        if self.mesh is not None:
+            # env batch sharded over 'data' (pallas kernel under shard_map);
+            # the flax GRU/MLP learner auto-partitions around it
+            from massive_marl_tpu.parallel.mesh import shard_env_step
+            env_step_fn = shard_env_step(env_step_fn, self.mesh)
         actor_tx, critic_tx = self.actor_tx, self.critic_tx
         is_happo = cfg.algorithm_name in ("happo", "hatrpo")
         norm_mode = self.norm_mode
@@ -129,9 +136,9 @@ class RecurrentMarlRunner(MarlRunner):
             actions = mean + std * jax.random.normal(k, mean.shape)
             logp = nets.normal_log_prob(mean, std, actions)
             values, ch2 = value_all(cp, cin, ch, mask)
-            ns = batched_step(env)(env_state,
-                                    jnp.clip(actions, -cfg.clip_actions,
-                                             cfg.clip_actions).reshape(E, -1))
+            ns = env_step_fn(env_state,
+                             jnp.clip(actions, -cfg.clip_actions,
+                                      cfg.clip_actions).reshape(E, -1))
             data = dict(obs=obs, share=obs_buf, actions=actions, logp=logp,
                         values=values, mask=mask, reward=ns.reward,
                         done=ns.done.astype(jnp.float32))

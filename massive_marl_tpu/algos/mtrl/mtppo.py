@@ -31,11 +31,17 @@ from massive_marl_tpu.algos.rl.ppo import PPOConfig
 @dataclass
 class MTPPOConfig(PPOConfig):
     task_sample_mode: str = "round_robin"
+    # 'add-onehot' appends the task one-hot to the obs; 'vanilla' feeds the
+    # (padded) raw obs (multi_task_vec_task.py:37-39,115-117,128-130)
+    mode: str = "add-onehot"
 
     @classmethod
     def from_cfg_train(cls, cfg_train: dict) -> "MTPPOConfig":
         base = PPOConfig.from_cfg_train(cfg_train)
-        return cls(**base.__dict__)
+        mode = cfg_train.get("mode", "add-onehot")
+        if mode not in ("add-onehot", "vanilla"):
+            raise ValueError(f"unknown multi-task mode {mode!r}")
+        return cls(**base.__dict__, mode=mode)
 
 
 @struct.dataclass
@@ -65,7 +71,8 @@ class MTPPO:
         self.act_dims = {t: envs[t].num_actions * envs[t].num_agents for t in self.task_names}
         self.max_obs = max(self.obs_dims.values())
         self.max_act = max(self.act_dims.values())
-        self.obs_dim = self.max_obs + self.K    # padded + onehot
+        # padded (+ onehot unless vanilla)
+        self.obs_dim = self.max_obs + (self.K if self.cfg.mode == "add-onehot" else 0)
         self.model = nets.ActorCritic(act_dim=self.max_act, hidden_actor=self.cfg.hidden,
                                       hidden_critic=self.cfg.hidden,
                                       activation=self.cfg.activation,
@@ -80,6 +87,8 @@ class MTPPO:
     def _aug_obs(self, obs, task_idx):
         pad = self.max_obs - obs.shape[-1]
         obs = jnp.pad(obs, [(0, 0)] * (obs.ndim - 1) + [(0, pad)])
+        if self.cfg.mode == "vanilla":
+            return obs
         onehot = jax.nn.one_hot(jnp.full(obs.shape[:-1], task_idx), self.K)
         return jnp.concatenate([obs, onehot], axis=-1)
 

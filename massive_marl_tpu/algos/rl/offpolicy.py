@@ -177,13 +177,19 @@ class OffPolicy:
     """SAC/TD3/DDPG trainer over a functional env."""
 
     def __init__(self, env, num_envs: int, cfg: OffPolicyConfig | None = None,
-                 seed: int = 0, log_dir: str | None = None, print_log: bool = True):
+                 seed: int = 0, log_dir: str | None = None, print_log: bool = True,
+                 mesh=None):
         self.env = env
         self.num_envs = num_envs
         self.cfg = cfg or OffPolicyConfig()
         self.seed = seed
         self.log_dir = log_dir
         self.print_log = print_log
+        # multi-device: env batch + replay ring sharded over mesh axis 'data'
+        # (ring on its E axis - [R, E, ...]); params replicated, gradient
+        # psum inserted by the SPMD partitioner; env step under shard_map
+        # because the fused pallas kernel cannot be auto-partitioned
+        self.mesh = mesh
 
         self.obs_dim = env.num_obs
         self.act_dim = env.num_actions * env.num_agents
@@ -214,8 +220,10 @@ class OffPolicy:
         params = {"pi": self.pi.init(kpi, obs0), "q1": self.q.init(kq1, obs0, act0)}
         if self.twin_q:
             params["q2"] = self.q.init(kq2, obs0, act0)
-        # targets exclude the temperature (never read from the target copy)
-        target_params = jax.tree_util.tree_map(lambda x: x, params)
+        # targets exclude the temperature (never read from the target copy).
+        # REAL copies, not aliases: donate_argnums would otherwise see the
+        # same buffer twice on the first _train_iter call
+        target_params = jax.tree_util.tree_map(jnp.copy, params)
         if self.is_sac and cfg.auto_alpha:
             # SAC v2: learned temperature, updated toward target_entropy
             params["alpha"] = {"log_alpha": jnp.log(jnp.asarray(cfg.ent_coef))}
@@ -235,11 +243,23 @@ class OffPolicy:
             dones=jnp.zeros((R, E)),
             ptr=jnp.asarray(0, jnp.int32), count=jnp.asarray(0, jnp.int32))
         env_state = jax.jit(jax.vmap(self.env.reset))(jax.random.split(kenv, E))
-        return OffPolicyState(params=params, target_params=target_params,
-                              opt_pi=opt_pi, opt_q=opt_q, replay=replay,
-                              env_state=env_state, key=key,
-                              iteration=jnp.asarray(0, jnp.int32),
-                              update_count=jnp.asarray(0, jnp.int32))
+        ts = OffPolicyState(params=params, target_params=target_params,
+                            opt_pi=opt_pi, opt_q=opt_q, replay=replay,
+                            env_state=env_state, key=key,
+                            iteration=jnp.asarray(0, jnp.int32),
+                            update_count=jnp.asarray(0, jnp.int32))
+        return self._place(ts)
+
+    def _place(self, ts: OffPolicyState) -> OffPolicyState:
+        """Mesh placement: env batch and replay E-axis sharded over 'data',
+        everything else replicated (no-op without a mesh)."""
+        if self.mesh is None:
+            return ts
+        from massive_marl_tpu.parallel import mesh as pm
+        sh = pm.replicate_tree(ts, self.mesh)
+        sh = sh.replace(env_state=pm.shard_leading_axis(ts.env_state, self.mesh),
+                        replay=pm.shard_axis_tree(ts.replay, self.mesh, axis=1))
+        return jax.device_put(ts, sh)
 
     # -------------------------------------------------------------- internals
     def _policy_act(self, params, obs, key, explore: bool):
@@ -308,6 +328,10 @@ class OffPolicy:
         R = cfg.replay_size
         B = cfg.batch_size
         n_updates = cfg.noptepochs * cfg.nminibatches if update else 0
+        env_step_fn = batched_step(env)
+        if self.mesh is not None:
+            from massive_marl_tpu.parallel.mesh import shard_env_step
+            env_step_fn = shard_env_step(env_step_fn, self.mesh)
 
         def grad_update(params, target_params, opt_pi, opt_q, replay, key, upd_count):
             key, k_idx, k_q, k_pi = jax.random.split(key, 4)
@@ -364,7 +388,7 @@ class OffPolicy:
             obs = jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs)
             actions = self._policy_act(params["pi"], obs, k_act, explore=True)
             a_clip = jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions)
-            next_env = batched_step(env)(env_state, a_clip)
+            next_env = env_step_fn(env_state, a_clip)
             next_obs = jnp.clip(next_env.obs, -cfg.clip_obs, cfg.clip_obs)
             r = next_env.reward * cfg.reward_scale
             bf = jnp.bfloat16

@@ -43,6 +43,11 @@ class AntSceneState:
     # base_task.py:228-233) and total frames lived (schedule clock)
     dr_count: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
     frame: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
+    # PRNG key behind the CORRELATED obs/action noise component - held
+    # between re-randomizations like the reference's `params['corr']` tensor
+    # (base_task.py:281-288); phys/dr.noise_fn draws from it deterministically
+    corr_key: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((2,), jnp.uint32))
 
 
 class AntSceneSpec(NamedTuple):
@@ -60,6 +65,9 @@ class AntSceneSpec(NamedTuple):
     plane_friction: float = 1.0
     # domain randomization spec (actor_params.ant subtree) or None
     dr_spec: Any = None
+    # joint-limit penalty override (None = engine.LIMIT_K / LIMIT_DAMP)
+    limit_k: Optional[float] = None
+    limit_damp: Optional[float] = None
 
 
 def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -> AntSceneState:
@@ -94,10 +102,14 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
             f_pts = f_pts + f_box
         f_ext = engine.accumulate_body_forces(s, p_w, f_pts, fk.base)
         sens = engine.sensor_forces(s, f_pts, fk, p_w)
-        t_lim, d_lim = engine.joint_limit_spring(s, qpos)
+        t_lim, d_lim, k_lim = engine.joint_limit_spring(
+            s, qpos,
+            k=spec.limit_k if spec.limit_k is not None else engine.LIMIT_K,
+            damp=spec.limit_damp if spec.limit_damp is not None else engine.LIMIT_DAMP)
         tau = tau_a + t_lim
         qacc = engine.forward_dynamics(s, fk, qvel, tau, f_ext, gravity,
-                                       imp_damping=s.damping + d_lim, h=h)
+                                       imp_damping=s.damping + d_lim, h=h,
+                                       imp_stiffness=k_lim)
         qpos2, qvel2 = engine.integrate(s, qpos, qvel, qacc, h)
         return qpos2, qvel2, sens, box_wrench
 
@@ -128,8 +140,8 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
     (aq, av, bq, bv), sens_hist = jax.lax.scan(
         substep, (state.ant_qpos, state.ant_qvel, state.box_qpos, state.box_qvel),
         None, length=spec.substeps)
-    return AntSceneState(ant_qpos=aq, ant_qvel=av, box_qpos=bq, box_qvel=bv,
-                         sensors=sens_hist[-1], dr=state.dr,
+    return state.replace(ant_qpos=aq, ant_qvel=av, box_qpos=bq, box_qvel=bv,
+                         sensors=sens_hist[-1],
                          dr_count=state.dr_count + 1, frame=state.frame + 1)
 
 
@@ -148,7 +160,7 @@ def reset_scene(spec: AntSceneSpec, key: jnp.ndarray, ant_start: jnp.ndarray,
     feeds the schedule ramp."""
     sys = spec.ant_sys
     A = spec.num_ants
-    key, kp, kv = jax.random.split(key, 3)
+    key, kp, kv, kc = jax.random.split(key, 4)
     if spec.dr_spec is not None:
         from massive_marl_tpu.phys import dr
         key, kd = jax.random.split(key)
@@ -174,4 +186,5 @@ def reset_scene(spec: AntSceneSpec, key: jnp.ndarray, ant_start: jnp.ndarray,
                          dr=dr_sample,
                          dr_count=jnp.zeros((), jnp.int32),
                          frame=jnp.asarray(frame, jnp.int32) if frame is not None
-                         else jnp.zeros((), jnp.int32))
+                         else jnp.zeros((), jnp.int32),
+                         corr_key=kc)

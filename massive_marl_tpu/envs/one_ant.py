@@ -112,7 +112,11 @@ class OneAntEnv:
         if self._dr_mass_setup_only:
             new_dr = new_dr.replace(mass=prev.dr.mass)
         return fresh.replace(dr=new_dr,
-                             dr_count=jnp.where(resample, 0, stepped.dr_count))
+                             dr_count=jnp.where(resample, 0, stepped.dr_count),
+                             # correlated-noise sample persists until the next
+                             # re-randomization (base_task.py:281-288)
+                             corr_key=_sel(resample, fresh.corr_key,
+                                           prev.corr_key))
 
     def _carry_of(self, pipeline: AntSceneState) -> OneAntCarry:
         return OneAntCarry(pos_before=pipeline.ant_qpos[0, 0:2],
@@ -138,7 +142,8 @@ class OneAntEnv:
     def step(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
         # 1. physics on the pre-reset state (reference order, base_task.py:129-149)
         key, kn_a, kn_o = jax.random.split(state.key, 3)
-        applied = self._act_noise(kn_a, actions, state.pipeline.frame)
+        applied = self._act_noise(kn_a, actions, state.pipeline.frame,
+                                  jax.random.fold_in(state.pipeline.corr_key, 0))
         stepped = scene_step(self.spec, state.pipeline, applied[None, :])
         return self._finish_step(stepped, actions, key, kn_o, state)
 
@@ -150,7 +155,9 @@ class OneAntEnv:
         E = actions.shape[0]
         triple = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)
         key, kn_a, kn_o = triple[:, 0], triple[:, 1], triple[:, 2]
-        applied = jax.vmap(self._act_noise)(kn_a, actions, state.pipeline.frame)
+        applied = jax.vmap(self._act_noise)(
+            kn_a, actions, state.pipeline.frame,
+            jax.vmap(lambda k: jax.random.fold_in(k, 0))(state.pipeline.corr_key))
         stepped = fused_scene_step(self.spec, state.pipeline, applied[:, None, :])
         return jax.vmap(self._finish_step)(stepped, actions, key, kn_o, state)
 
@@ -173,7 +180,8 @@ class OneAntEnv:
         # touches the returned obs (reference order, base_task.py:139-149)
         obs = self._obs(pipeline, actions)
         reward, done = self._reward(obs, actions, pipeline, carry_prev, progress)
-        obs = self._obs_noise(kn_o, obs, pipeline.frame)
+        obs = self._obs_noise(kn_o, obs, pipeline.frame,
+                              jax.random.fold_in(pipeline.corr_key, 1))
         carry = self._carry_of(pipeline)
         return EnvState(pipeline=pipeline, carry=carry, progress=progress,
                         done=done, key=key, obs=obs, reward=reward)

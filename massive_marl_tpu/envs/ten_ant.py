@@ -132,7 +132,11 @@ class TenAntEnv:
         if self._dr_mass_setup_only:
             new_dr = new_dr.replace(mass=prev.dr.mass)
         return fresh.replace(dr=new_dr,
-                             dr_count=jnp.where(resample, 0, stepped.dr_count))
+                             dr_count=jnp.where(resample, 0, stepped.dr_count),
+                             # correlated-noise sample persists until the next
+                             # re-randomization (base_task.py:281-288)
+                             corr_key=select_tree(resample, fresh.corr_key,
+                                                  prev.corr_key))
 
     def _carry_of(self, pipeline: AntSceneState) -> TenAntCarry:
         return TenAntCarry(pos_before=pipeline.ant_qpos[:, 0:2],
@@ -163,7 +167,8 @@ class TenAntEnv:
         """actions: flat [80] (joint-action layout, ten_ant.py:886-891)."""
         actions = actions.reshape(10, 8)
         key, kn_a, kn_o = jax.random.split(state.key, 3)
-        applied = self._act_noise(kn_a, actions, state.pipeline.frame)
+        applied = self._act_noise(kn_a, actions, state.pipeline.frame,
+                                  jax.random.fold_in(state.pipeline.corr_key, 0))
         stepped = scene_step(self.spec, state.pipeline, applied)
         return self._finish_step(stepped, actions, key, kn_o, state)
 
@@ -181,7 +186,9 @@ class TenAntEnv:
         actions = actions.reshape(E, 10, 8)
         triple = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)
         key, kn_a, kn_o = triple[:, 0], triple[:, 1], triple[:, 2]
-        applied = jax.vmap(self._act_noise)(kn_a, actions, state.pipeline.frame)
+        applied = jax.vmap(self._act_noise)(
+            kn_a, actions, state.pipeline.frame,
+            jax.vmap(lambda k: jax.random.fold_in(k, 0))(state.pipeline.corr_key))
         stepped = fused_scene_step(self.spec, state.pipeline, applied)
         return jax.vmap(self._finish_step)(stepped, actions, key, kn_o, state)
 
@@ -206,7 +213,8 @@ class TenAntEnv:
         # applied afterwards in BaseTask.step, base_task.py:139-149)
         obs = self._obs(pipeline, actions)
         reward, done = self._reward(obs, actions, pipeline, carry_prev, progress)
-        obs = self._obs_noise(kn_o, obs, pipeline.frame)
+        obs = self._obs_noise(kn_o, obs, pipeline.frame,
+                              jax.random.fold_in(pipeline.corr_key, 1))
         return EnvState(pipeline=pipeline, carry=self._carry_of(pipeline),
                         progress=progress, done=done, key=key, obs=obs,
                         reward=reward)

@@ -509,6 +509,97 @@ mlp_tower.defvjp(_tower_vjp_fwd, _tower_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
+# manual JVP path (Fisher-vector products)
+# ---------------------------------------------------------------------------
+#
+# HATRPO's conjugate-gradient needs Fisher-vector products.  jvp(grad(kl))
+# cannot ride the custom-VJP kernels (forward-over-reverse would need a JVP
+# rule for the backward pallas_call), so the FVP is assembled MANUALLY via
+# the Gauss-Newton identity  F v = J^T M (J v)  (exact: the KL's output-space
+# gradient vanishes at the linearization point).  J v is computed here: the
+# fused forward kernel supplies (y, a) per layer and the directional tangent
+# runs in plain XLA from those activations (2 matmuls + LN chain per layer -
+# forward-pass cost class).  J^T u reuses the fused custom-VJP backward.
+# These helpers carry NO jax AD registration - callers orchestrate.
+
+
+def _ln_tangent(a, da, g, dg, dbe):
+    """Directional tangent of y = LN(a)*g + dbe given da (and dg/dbe)."""
+    af = a.astype(jnp.float32)
+    mu = jnp.mean(af, -1, keepdims=True)
+    var = jnp.mean(jnp.square(af - mu), -1, keepdims=True)
+    inv = jax.lax.rsqrt(var + _EPS)
+    yhat = (af - mu) * inv
+    m1 = jnp.mean(da, -1, keepdims=True)
+    m2 = jnp.mean(da * yhat, -1, keepdims=True)
+    dyhat = (da - m1 - yhat * m2) * inv
+    return dyhat * g[:, None, :] + yhat * dg[:, None, :] + dbe[:, None, :]
+
+
+def mlp_base_stacked_jvp(params: dict, dparams: dict, x: jnp.ndarray,
+                         layer_n: int = 2, prenormed: bool = False,
+                         interpret: bool | None = None):
+    """(h, dh): mlp_base_stacked forward + its parameter-directional tangent.
+
+    dparams: tangent tree with the same structure as params.  The obs tangent
+    is zero (FVPs differentiate w.r.t. parameters only).  Forward runs on the
+    fused kernels (y and the saved activation a per layer); the tangent runs
+    in plain XLA from a.  Returns h [N,B,H] bf16 and dh [N,B,H] f32.
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    N, B, _ = x.shape
+    bm = _pick_bm(B)
+    if bm == 0:
+        raise ValueError(f"B={B} has no supported row block")
+    if not prenormed:
+        x = feature_norm(x)
+    h, dh = x, None
+    for li in range(1 + layer_n):
+        w = params[f"Dense_{li}"]["kernel"]
+        dw = dparams[f"Dense_{li}"]["kernel"]
+        if w.shape[1] % 128:
+            pad = (-w.shape[1]) % 128
+            w = jnp.pad(w, [(0, 0), (0, pad), (0, 0)])
+            dw = jnp.pad(dw, [(0, 0), (0, pad), (0, 0)])
+        bias = params[f"Dense_{li}"]["bias"]
+        dbias = dparams[f"Dense_{li}"]["bias"]
+        ln = params[f"LayerNorm_{li + 1}"]
+        dln = dparams[f"LayerNorm_{li + 1}"]
+        din = w.shape[1]
+        if li == 0:
+            ln0, dln0 = params["LayerNorm_0"], dparams["LayerNorm_0"]
+            pad0 = din - ln0["scale"].shape[-1]
+            g0 = jnp.pad(ln0["scale"], [(0, 0), (0, pad0)])
+            b0 = jnp.pad(ln0["bias"], [(0, 0), (0, pad0)])
+            dg0 = jnp.pad(dln0["scale"], [(0, 0), (0, pad0)])
+            db0 = jnp.pad(dln0["bias"], [(0, 0), (0, pad0)])
+        else:
+            g0 = jnp.ones((N, din), jnp.float32)
+            b0 = jnp.zeros((N, din), jnp.float32)
+            dg0 = db0 = jnp.zeros((N, din), jnp.float32)
+        y, a = _fwd_call(h, w, bias, ln["scale"], ln["bias"], g0, b0,
+                         bm, interpret)
+        # dh_pre = (dx*g0 + x*dg0 + db0) @ W + (x*g0 + b0) @ dW + db
+        xf = h.astype(jnp.float32)
+        dxin = xf * dg0[:, None, :] + db0[:, None, :]
+        if dh is not None:
+            dxin = dxin + dh * g0[:, None, :]
+        xt = (xf * g0[:, None, :] + b0[:, None, :]).astype(jnp.bfloat16)
+        w16 = w.astype(jnp.bfloat16)
+        dhp = jnp.einsum("nbi,nio->nbo", dxin.astype(jnp.bfloat16), w16,
+                         preferred_element_type=jnp.float32) \
+            + jnp.einsum("nbi,nio->nbo", xt, dw.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32) \
+            + dbias[:, None, :]
+        af = a.astype(jnp.float32)
+        da = jnp.where(af > 0, 1.0, af + 1.0) * dhp   # elu'(h) from a
+        dh = _ln_tangent(a, da, ln["scale"], dln["scale"], dln["bias"])
+        h = y
+    return h, dh
+
+
+# ---------------------------------------------------------------------------
 # MLPBase-equivalent stacked apply
 # ---------------------------------------------------------------------------
 

@@ -113,7 +113,7 @@ def _dr_pad_values(c: sp.AntConsts):
 
 def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
                     cp: engine.ContactParams, plane_friction: float,
-                    dr_slices, *refs):
+                    limit_k, limit_damp, dr_slices, *refs):
     if dr_slices is not None:
         aq_ref, av_ref, tau_ref, bq_ref, bv_ref, dr_ref, naq_ref, nav_ref, wr_ref, sens_ref = refs
         dr = {name: [dr_ref[i] for i in range(s, e)]
@@ -133,7 +133,9 @@ def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
         c, qpos, qvel, tau, bq, bv, box_he, gravity, h,
         cp.stiffness, cp.damping, cp.friction_vel,
         plane_friction=plane_friction,
+        limit_k=limit_k, limit_damp=limit_damp,
         beta=cp.beta, max_depen_vel=cp.max_depen_vel,
+        acc_units=bool(cp.acc_units), hc_vel=float(cp.hc_vel),
         box_inv=box_inv, dr=dr)
     for i in range(NQ):
         naq_ref[i] = nqp[i]
@@ -153,7 +155,9 @@ def build_substep(c: sp.AntConsts, box_he: Optional[Tuple[float, float, float]],
                   box_inv, gravity: Tuple[float, float, float], h: float,
                   cp: engine.ContactParams, plane_friction: float,
                   rows: int, rblk: int = 16, interpret: bool = False,
-                  with_dr: bool = False):
+                  with_dr: bool = False,
+                  limit_k: Optional[float] = None,
+                  limit_damp: Optional[float] = None):
     """Returns f(aq3, av3, tau3, bq3, bv3[, dr3]) -> (naq3, nav3, wrench3, sens3).
 
     All operands are [n_fields, rows, 128] f32; wrench3 is [6, rows, 128]
@@ -174,7 +178,8 @@ def build_substep(c: sp.AntConsts, box_he: Optional[Tuple[float, float, float]],
         in_specs.append(bs(n_dr))
 
     kernel = functools.partial(_substep_kernel, c, box_he, box_inv,
-                               gravity, h, cp, plane_friction, dr_slices)
+                               gravity, h, cp, plane_friction,
+                               limit_k, limit_damp, dr_slices)
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -235,7 +240,8 @@ def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 16,
 
     step_k = build_substep(consts, box_he, box_inv, gravity, h, cp,
                            float(spec.plane_friction), rows, rblk, interpret,
-                           with_dr=use_dr)
+                           with_dr=use_dr,
+                           limit_k=spec.limit_k, limit_damp=spec.limit_damp)
 
     tau_act = (actions * sys.gear * spec.power_scale).astype(jnp.float32)
 
@@ -291,11 +297,10 @@ def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 16,
         sensors = jnp.zeros_like(state.sensors)
 
     nq, nv = consts.nj + 7, consts.nj + 6
-    return AntSceneState(
+    return state.replace(
         ant_qpos=unpack_fields(aq3, B).reshape(E, A, nq),
         ant_qvel=unpack_fields(av3, B).reshape(E, A, nv),
         box_qpos=bq, box_qvel=bv,
         sensors=sensors,
-        dr=state.dr,
         dr_count=state.dr_count + 1,
         frame=state.frame + 1)

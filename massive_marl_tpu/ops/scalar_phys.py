@@ -208,10 +208,11 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
             box_he: tuple | None, gravity: tuple, h: float,
             stiffness: float, damping_c: float, friction_vel: float,
             plane_friction: float = 1.0,
-            limit_k: float = 200.0, limit_damp: float = 20.0,
+            limit_k: float | None = None, limit_damp: float | None = None,
             max_ang_vel: float = 64.0, max_lin_vel: float = 200.0,
             max_dof_vel: float = 64.0,
             beta: float | None = None, max_depen_vel: float = 4.0,
+            acc_units: bool = True, hc_vel: float = 0.0,
             box_inv: tuple | None = None,
             dr: dict | None = None):
     """One physics substep in scalar form.
@@ -225,6 +226,11 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
     of (fx,fy,fz,tx,ty,tz) per sensor in the foot body frame).
     """
     nb, nj = c.nb, c.nj
+    if limit_k is None or limit_damp is None:
+        # single source of truth for the limit-penalty constants
+        from massive_marl_tpu.phys.engine import LIMIT_DAMP, LIMIT_K
+        limit_k = LIMIT_K if limit_k is None else limit_k
+        limit_damp = LIMIT_DAMP if limit_damp is None else limit_damp
     mass = dr["mass"] if dr else list(c.mass)
     damping = dr["damping"] if dr else list(c.damping)
     armature = dr["armature"] if dr else list(c.armature)
@@ -327,7 +333,8 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
         f_pt = _contact_force(depth, (zero, zero, one), v_w, mu,
                               stiffness, damping_c, friction_vel,
                               w_fn=w_fn, h=h if clamp else None,
-                              beta=beta if clamp else 0.2, mdv=max_depen_vel)
+                              beta=beta if clamp else 0.2, mdv=max_depen_vel,
+                              acc_units=acc_units, hc_vel=hc_vel)
 
         if box_he is not None:
             rel = v3_sub(p_w, bp)
@@ -370,7 +377,8 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
             f_bx = _contact_force(depth_b, n_w, v_rel, 0.0,
                                   stiffness, damping_c, friction_vel,
                                   w_fn=w_fn_box, h=h if clamp else None,
-                                  beta=beta if clamp else 0.2, mdv=max_depen_vel)
+                                  beta=beta if clamp else 0.2, mdv=max_depen_vel,
+                                  acc_units=acc_units, hc_vel=hc_vel)
             f_pt = v3_add(f_pt, f_bx)
             tq = v3_cross(v3_sub(cpnt, bp), f_bx)
             box_wrench = s6_add(box_wrench,
@@ -468,10 +476,11 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
         fs[c.parent[b]] = s6_add(fs[c.parent[b]], fs[b])
     C = [s6_dot(phi[j], fs[c.body_of_dof[j]]) for j in range(nv)]
 
-    # hinge torques: actuation + limit spring; joint + limit damping
-    # integrate IMPLICITLY via (M + h*D) qacc = tau - D*qd (MuJoCo-Euler
-    # style; twin of engine.forward_dynamics imp_damping), which keeps the
-    # stiff limit-boundary damping unconditionally stable
+    # hinge torques: actuation + limit spring; joint + limit damping AND the
+    # limit spring integrate IMPLICITLY via (M + h*D + h^2*K) qacc =
+    # tau - (D + h*K)*qd (MuJoCo-Euler style; twin of
+    # engine.forward_dynamics imp_damping/imp_stiffness), which keeps the
+    # stiff limit spring + boundary damping unconditionally stable
     rhs = [-C[j] for j in range(6)]
     for j in range(nj):
         q = qpos[7 + j]
@@ -481,8 +490,9 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
         viol = (below > 0) | (above > 0)
         t_lim = limit_k * (below - above)
         D_j = damping[j] + jnp.where(viol, limit_damp, 0.0)
-        Mrows[6 + j][6 + j] = Mrows[6 + j][6 + j] + h * D_j
-        tau_j = tau_act[j] + t_lim - D_j * qd
+        K_j = jnp.where(viol, limit_k, 0.0)
+        Mrows[6 + j][6 + j] = Mrows[6 + j][6 + j] + h * D_j + (h * h) * K_j
+        tau_j = tau_act[j] + t_lim - (D_j + h * K_j) * qd
         rhs.append(tau_j - C[6 + j])
 
     # ---------------- Cholesky solve ----------------
@@ -540,9 +550,12 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
 
 
 def _contact_force(depth, normal, v_rel, friction, kn, kd, fv,
-                   w_fn=None, h=None, beta=0.2, mdv=4.0):
+                   w_fn=None, h=None, beta=0.2, mdv=4.0, acc_units=True,
+                   hc_vel=0.0):
     """Mirror of engine._contact_force: implicit spring-damper normal force +
-    exact-stiction Coulomb friction (see engine.ContactParams docstring).
+    exact-stiction Coulomb friction (see engine.ContactParams docstring;
+    acc_units=True means kn/kd are mass-scaled MuJoCo-solref-style constants
+    divided by the point's effective inverse mass).
 
     w_fn(d3) -> effective inverse mass along direction d (point body with
     armature-augmented inertia + other body)."""
@@ -555,8 +568,16 @@ def _contact_force(depth, normal, v_rel, friction, kn, kd, fv,
         inv_vt = 1.0 / vt_norm
         t_dir = v3_scale(vt, inv_vt)
         w_t = w_fn(t_dir)
+        if not (isinstance(hc_vel, (int, float)) and hc_vel == 0.0):
+            hc_t = jnp.asarray(hc_vel)
+            kn = kn * jnp.where(hc_t > 0,
+                                jnp.clip(1.0 - vn / jnp.maximum(hc_t, 1e-9),
+                                         0.0, None), 1.0)
         kh = kn * h + kd
-        fn = (kn * depth - kh * vn) / (1.0 + w_n * h * kh)
+        if acc_units:
+            fn = (kn * depth - kh * vn) / (w_n * (1.0 + h * kh))
+        else:
+            fn = (kn * depth - kh * vn) / (1.0 + w_n * h * kh)
         fn = jnp.maximum(fn, 0.0) * active
         fn = jnp.minimum(fn, jnp.maximum(mdv - vn, 0.0) / (w_n * h))
         ft_mag = jnp.minimum(friction * fn, vt_norm / (w_t * h))

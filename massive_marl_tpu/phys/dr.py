@@ -72,18 +72,31 @@ def sched_scaling(prop: Dict[str, Any], frame):
     return (f >= steps).astype(jnp.float32)  # 'constant'
 
 
+def _sched_range(prop: Dict[str, Any], lo, hi, s):
+    """Schedule-scaled (lo, hi) per the reference's dist x op table
+    (base_task.py:262-307):
+      gaussian: range = (mu, var).  additive -> both * s;
+                scaling -> var * s, mu interpolated toward the identity 1.0
+                (the round-2 repo scaled BOTH toward 1, injecting sigma=1
+                noise at schedule start where the reference injects none).
+      uniform:  additive -> both * s; scaling -> both interpolated toward 1.
+    """
+    op = prop.get("operation", "scaling")
+    if prop.get("distribution", "uniform") == "gaussian":
+        if op == "scaling":
+            return lo * s + 1.0 * (1 - s), hi * s
+        return lo * s, hi * s
+    if op == "scaling":
+        return lo * s + 1.0 * (1 - s), hi * s + 1.0 * (1 - s)
+    return lo * s, hi * s
+
+
 def _sample(key, prop: Dict[str, Any], shape, frame=None):
     """Draw the randomization factor with schedule-scaled ranges
-    (base_task.py:262-300): additive ranges scale toward full strength,
-    scaling ranges interpolate from the identity (1.0)."""
+    (base_task.py:262-307)."""
     lo, hi = (float(x) for x in prop["range"])
-    op = prop.get("operation", "scaling")
     s = sched_scaling(prop, frame) if frame is not None else 1.0
-    if op == "scaling":
-        lo = lo * s + 1.0 * (1 - s)
-        hi = hi * s + 1.0 * (1 - s)
-    else:
-        lo, hi = lo * s, hi * s
+    lo, hi = _sched_range(prop, lo, hi, s)
     if prop.get("distribution", "uniform") == "gaussian":
         return lo + hi * jax.random.normal(key, shape)
     return jax.random.uniform(key, shape, minval=lo, maxval=hi)
@@ -136,13 +149,36 @@ def randomize_system(sys: System, key: jnp.ndarray, spec: Dict[str, Any]) -> Sys
 
 def noise_fn(spec: Dict[str, Any] | None):
     """Per-step additive/scaling noise lambda for obs/actions
-    (base_task.py:245-314), schedule-aware.
+    (base_task.py:245-318), schedule-aware, with the reference's CORRELATED
+    component (`range_correlated`, default [0, 0]).
 
-    Returns f(key, x, frame=None) -> noised x (identity when spec is None)."""
+    The reference draws `corr = randn_like(tensor)` once per re-randomization
+    and holds it in the noise closure (base_task.py:281-288 gaussian,
+    309-316 uniform - note the uniform branch also uses randn for the
+    correlated part); every step applies `op(x, corr_scaled + white)`.  Here
+    the persistence is a per-env PRNG key (`corr_key`) carried in the scene
+    state and re-sampled on frequency-gated re-randomization - the standard-
+    normal draw from a held key is constant across steps by construction.
+
+    Returns f(key, x, frame=None, corr_key=None) -> noised x (identity when
+    spec is None).  When corr_key is None only the white part applies."""
     if not spec:
-        return lambda key, x, frame=None: x
+        return lambda key, x, frame=None, corr_key=None: x
 
-    def f(key, x, frame=None):
-        return _apply(spec, x, _sample(key, spec, x.shape, frame))
+    lo_c, hi_c = (float(v) for v in spec.get("range_correlated", [0.0, 0.0]))
+
+    def f(key, x, frame=None, corr_key=None):
+        noise = _sample(key, spec, x.shape, frame)
+        if corr_key is not None:
+            s = sched_scaling(spec, frame) if frame is not None else 1.0
+            lo, hi = _sched_range(spec, lo_c, hi_c, s)
+            if spec.get("distribution", "uniform") == "gaussian":
+                # corr * var_corr + mu_corr (base_task.py:285-288)
+                corr = lo + hi * jax.random.normal(corr_key, x.shape)
+            else:
+                # corr * (hi_corr - lo_corr) + lo_corr (base_task.py:313-316)
+                corr = lo + (hi - lo) * jax.random.normal(corr_key, x.shape)
+            noise = noise + corr
+        return _apply(spec, x, noise)
 
     return f

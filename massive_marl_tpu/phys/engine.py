@@ -147,7 +147,8 @@ def forward_dynamics(sys: System, fk: FK, qvel: jnp.ndarray, tau_hinge: jnp.ndar
                      f_ext: Sequence[jnp.ndarray], gravity: jnp.ndarray,
                      fixed_base: bool = False,
                      imp_damping: jnp.ndarray | None = None,
-                     h: float | None = None) -> jnp.ndarray:
+                     h: float | None = None,
+                     imp_stiffness: jnp.ndarray | None = None) -> jnp.ndarray:
     """qacc [nv] given hinge torques and per-body external spatial forces.
 
     f_ext: sequence of nb base-origin spatial forces [6] (contacts, thrust) -
@@ -158,7 +159,14 @@ def forward_dynamics(sys: System, fk: FK, qvel: jnp.ndarray, tau_hinge: jnp.ndar
     unconditionally stable for any damping magnitude - the explicit penalty
     damping bound h < 2*I/d is what made stiff joint-limit damping blow up.
     Callers must NOT also subtract D*qd from tau_hinge.
-    """
+    imp_stiffness: optional [nj] spring coefficients whose POSITION term the
+    caller already placed in tau_hinge (e.g. the joint-limit spring k*viol);
+    the spring is then evaluated implicitly at the end-of-step position:
+    tau(t+h) ~= -k viol(q) - k h qd(t+h), i.e. (M + h D + h^2 K) qacc =
+    tau - (D + h K) qd - C.  This removes the explicit stability bound
+    sqrt(k/I) h < ~1 that capped the round-2 limit spring at k~200 and let
+    landing impacts flex the ankles past their stops (the 4.5% torso-dip
+    error vs MuJoCo, VERDICT r3 contact item)."""
     qd = qvel
     body_of_dof, chains = dof_chains(sys)
 
@@ -185,6 +193,9 @@ def forward_dynamics(sys: System, fk: FK, qvel: jnp.ndarray, tau_hinge: jnp.ndar
     if imp_damping is not None:
         for j in range(sys.nj):
             Mrows[6 + j][6 + j] = Mrows[6 + j][6 + j] + h * imp_damping[j]
+    if imp_stiffness is not None:
+        for j in range(sys.nj):
+            Mrows[6 + j][6 + j] = Mrows[6 + j][6 + j] + h * h * imp_stiffness[j]
 
     # ---- velocity-product accelerations (zeta recursion) ----
     v_b_lin = qd[0:3]
@@ -212,6 +223,9 @@ def forward_dynamics(sys: System, fk: FK, qvel: jnp.ndarray, tau_hinge: jnp.ndar
     if imp_damping is not None:
         for j in range(sys.nj):
             rhs[6 + j] = rhs[6 + j] - imp_damping[j] * qd[6 + j]
+    if imp_stiffness is not None:
+        for j in range(sys.nj):
+            rhs[6 + j] = rhs[6 + j] - h * imp_stiffness[j] * qd[6 + j]
     lo = 6 if fixed_base else 0
     x = cholesky_solve_rows(Mrows, rhs, lo, sys.nv)
     if fixed_base:
@@ -281,20 +295,23 @@ def joint_limit_torque(sys: System, qpos: jnp.ndarray, qvel: jnp.ndarray,
     return k * (below - above) - jnp.where(viol, damp * qd, 0.0)
 
 
-# joint-limit penalty constants.  The spring must stay inside the explicit
-# stability bound (sqrt(k/I_min)*h < ~1), but the damping is integrated
-# implicitly (forward_dynamics imp_damping), so it can be large enough to
-# kill the limit-boundary chatter that an explicit one-sided spring causes.
-LIMIT_K = 200.0
+# joint-limit penalty constants.  Both the spring and its damping integrate
+# IMPLICITLY (forward_dynamics imp_stiffness/imp_damping), so the stiffness
+# is no longer capped by the explicit bound sqrt(k/I_min)*h < ~1 that forced
+# the round-2 k=200 (which let landing impacts flex the ankles ~2 deg past
+# their stops and sank the torso 4.5% deeper than MuJoCo).  k=16000 holds the
+# gravity-loaded ankle within ~5e-5 rad of its stop, matching MuJoCo's
+# near-rigid limit constraints (solref 0.02) at our production substep.
+LIMIT_K = 16000.0
 LIMIT_DAMP = 20.0
 
 
 def joint_limit_spring(sys_or_range, qpos: jnp.ndarray,
                        k: float = LIMIT_K, damp: float = LIMIT_DAMP):
-    """(spring torque [nj], active damping coef [nj]) for the hinge limits.
-    The caller adds the spring to tau and feeds the damping coefficient into
-    forward_dynamics' imp_damping (together with the joint's own viscous
-    damping)."""
+    """(spring torque [nj], active damping coef [nj], active stiffness [nj])
+    for the hinge limits.  The caller adds the spring to tau and feeds the
+    damping/stiffness coefficients into forward_dynamics' imp_damping /
+    imp_stiffness (damping together with the joint's own viscous term)."""
     jnt_range = getattr(sys_or_range, "jnt_range", sys_or_range)
     q = qpos[7:]
     lo = jnt_range[:, 0]
@@ -302,7 +319,8 @@ def joint_limit_spring(sys_or_range, qpos: jnp.ndarray,
     below = jnp.maximum(lo - q, 0.0)
     above = jnp.maximum(q - hi, 0.0)
     viol = (below > 0) | (above > 0)
-    return k * (below - above), jnp.where(viol, damp, 0.0)
+    return (k * (below - above), jnp.where(viol, damp, 0.0),
+            jnp.where(viol, k, 0.0))
 
 
 def integrate(sys: System, qpos: jnp.ndarray, qvel: jnp.ndarray, qacc: jnp.ndarray,
@@ -333,28 +351,54 @@ class ContactParams(NamedTuple):
 
     When the caller supplies the substep `h` and per-point inertia
     (`PointInertia`), the normal force is the EXACT IMPLICIT EULER solution
-    of the 1-dof contact spring-damper along the point's effective mass:
+    of the 1-dof contact spring-damper along the point's effective mass.
+    With `acc_units=True` (default) stiffness/damping are MASS-SCALED
+    (MuJoCo solref convention, units 1/s^2 and 1/s): the per-point force
+    constants are kn/w and kd/w with w the point's effective inverse mass
+    along the direction, so the penetration coordinate follows
 
-        fn = (kn*d - (kn*h + kd)*vn) / (1 + w*h*(kn*h + kd))
+        dd'' = -kd*dd' - kn*dd
 
-    which is unconditionally stable for any stiffness, so kn can be
-    near-rigid (1e5) like the PhysX TGS solver the reference runs - the
-    round-1 explicit spring at kn=2500 let a dropped ant's torso sink ~0.1 m
-    below its stance during landing (MuJoCo ground truth dips 0.027 m).
+    for EVERY point regardless of its mass - critically damped at
+    kd = 2*sqrt(kn), which is what makes MuJoCo landings bounce-free.  The
+    implicit solution in force units:
+
+        fn = (kn*d - (kn*h + kd)*vn) / (w * (1 + h*(kn*h + kd)))
+
+    (round-2 used fixed force-unit constants kn=1e5/kd=300; per-point
+    effective mass varies ~10x across the ant, so light foot points were
+    underdamped -> the drop test rebounded 0.17 m where MuJoCo settles
+    dead, VERDICT r3 contact item.)  With acc_units=False the constants are
+    plain force units: fn = (kn*d - (kn*h+kd)*vn) / (1 + w*h*(kn*h+kd)).
     Friction is Coulomb with EXACT one-substep stiction: ft <= vt/(w_t*h)
-    (the force that stops the tangential motion), removing the round-1
-    viscous ramp that let loaded feet creep sideways.  `max_depen_vel` caps
-    the separation velocity a normal impulse may produce (PhysX's
+    (the force that stops the tangential motion).  `max_depen_vel` caps the
+    separation velocity a normal impulse may produce (PhysX's
     maxDepenetrationVelocity).
 
     Without (pi, h) the legacy explicit spring-damper + ramped friction is
-    used (stiffness/damping/friction_vel then read their explicit meaning).
+    used (stiffness/damping/friction_vel then read their explicit meaning,
+    acc_units ignored).
     """
-    stiffness: float = 1.0e5
-    damping: float = 300.0
+    # Tuned against MuJoCo drop/stiction/push trajectories at the production
+    # substep h = 5.53 ms (scripts/sweep_contact.py grids, BASELINE.md r3):
+    # kn = 2e5 1/s^2, kd = 2*sqrt(kn) (critically damped), hc_vel = 0.5 m/s
+    # -> torso-dip error 0.85%, rest 0.27%, landing-transient max |dz| 8 mm.
+    stiffness: float = 2.0e5     # acc units [1/s^2] (MuJoCo solref convention)
+    damping: float = 894.0      # acc units [1/s]; 2*sqrt(stiffness) = critical
     friction_vel: float = 0.3    # tangential velocity scale (legacy path)
     beta: float = 0.2            # Baumgarte factor (legacy path)
     max_depen_vel: float = 4.0   # cap on the separation velocity [m/s]
+    acc_units: bool = True
+    # Hunt-Crossley-style dissipation velocity [m/s] (0 disables): the spring
+    # term is scaled by max(1 - vn/hc_vel, 0) - amplified while compressing
+    # (vn < 0), suppressed while expanding - which makes the penalty contact
+    # near-inelastic WITHOUT touching the static force (vn = 0 -> factor 1).
+    # A linear implicit spring-damper at the production substep h = 5.5 ms
+    # cannot be both stiff enough for the landing dip and damped enough not
+    # to rebound (sweeps in BASELINE.md r3 notes); this is the standard
+    # dissipation-model fix (Hunt & Crossley 1975; Drake's hydroelastic
+    # model uses the same form).
+    hc_vel: float = 0.5
 
 
 class PointInertia(NamedTuple):
@@ -463,8 +507,23 @@ def _contact_force(depth, normal, v_rel, friction, cp: ContactParams,
         if w_extra_fn is not None:
             w_n = w_n + w_extra_fn(normal)
             w_t = w_t + w_extra_fn(t_dir)
-        kh = cp.stiffness * h + cp.damping
-        fn = (cp.stiffness * depth - kh * vn) / (1.0 + w_n * h * kh)
+        kn = cp.stiffness
+        hc = getattr(cp, "hc_vel", 0.0)
+        if not (isinstance(hc, (int, float)) and hc == 0.0):
+            # Hunt-Crossley dissipation: explicit in the factor, implicit in
+            # the spring-damper solve (kn_eff >= 0 keeps it unconditionally
+            # stable).  Branchless so hc may be a traced value (sweeps).
+            hc_t = jnp.asarray(hc)
+            kn = kn * jnp.where(hc_t > 0,
+                                jnp.clip(1.0 - vn / jnp.maximum(hc_t, 1e-9),
+                                         0.0, None), 1.0)
+        kh = kn * h + cp.damping
+        if getattr(cp, "acc_units", False):
+            # mass-scaled constants: identical penetration dynamics for
+            # every point (see ContactParams docstring)
+            fn = (kn * depth - kh * vn) / (w_n * (1.0 + h * kh))
+        else:
+            fn = (kn * depth - kh * vn) / (1.0 + w_n * h * kh)
         fn = jnp.clip(fn, 0.0, None) * active
         # cap the separation velocity an impulse may produce
         fn = jnp.minimum(fn, jnp.maximum(cp.max_depen_vel - vn, 0.0) / (w_n * h))

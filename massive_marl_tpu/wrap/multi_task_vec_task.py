@@ -17,11 +17,15 @@ from massive_marl_tpu.wrap.vec_task import VecTaskPython
 
 
 class MultiTaskVecTaskPython:
-    """mode='add-onehot' (multi_task_vec_task.py:33-42)."""
+    """mode='add-onehot' appends the task one-hot to every obs; mode='vanilla'
+    returns the (padded) obs unchanged (multi_task_vec_task.py:37-39,
+    115-117, 128-130 branch on self.mode)."""
 
     def __init__(self, envs: Dict[str, object], num_envs: int, seed: int = 0,
-                 sample_strategy: str = "round_robin",
+                 sample_strategy: str = "round_robin", mode: str = "add-onehot",
                  clip_observations: float = 5.0, clip_actions: float = 1.0):
+        if mode not in ("add-onehot", "vanilla"):
+            raise ValueError(f"unknown multi-task mode {mode!r}")
         self.task_names = sorted(envs.keys())
         self.K = len(self.task_names)
         self.wrapped = {t: VecTaskPython(envs[t], num_envs, seed + i,
@@ -29,14 +33,19 @@ class MultiTaskVecTaskPython:
                         for i, t in enumerate(self.task_names)}
         self.num_envs = num_envs
         self.sample_strategy = sample_strategy
+        self.mode = mode
         self.max_obs = max(e.num_obs for e in envs.values())
-        self.num_obs = self.max_obs + self.K
+        # padding to the widest task is kept in both modes (our tasks differ
+        # in obs width; the reference's vanilla assumes equal widths)
+        self.num_obs = self.max_obs + (self.K if mode == "add-onehot" else 0)
         self.num_actions = max(w.num_actions for w in self.wrapped.values())
         self._cur = 0
 
     def _aug(self, obs, idx):
         pad = self.max_obs - obs.shape[-1]
         obs = jnp.pad(obs, ((0, 0), (0, pad)))
+        if self.mode == "vanilla":
+            return obs
         onehot = jnp.zeros((obs.shape[0], self.K)).at[:, idx].set(1.0)
         return jnp.concatenate([obs, onehot], axis=-1)
 

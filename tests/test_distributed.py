@@ -148,3 +148,126 @@ def test_marl_psum_equivalence_sharded_vs_single_device(algo):
     # env state stayed sharded across all devices
     leaf = jax.tree_util.tree_leaves(ts_sh.env_state)[0]
     assert len(leaf.sharding.device_set) == N_DEV
+
+
+# ---------------------------------------------------------------------------
+# off-policy / MADDPG / MAT / recurrent trainers on the mesh
+# (VERDICT r2 item 2: mesh support for the remaining trainer families)
+# ---------------------------------------------------------------------------
+
+from tests.test_ppo import ToyEnv
+
+
+def _assert_tree_close(a_tree, b_tree, tag, rtol=2e-4, atol=2e-4):
+    for (pa, a), (pb, b) in zip(_leaves_with_paths(a_tree),
+                                _leaves_with_paths(b_tree)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=rtol, atol=atol, err_msg=f"{tag} {pa}")
+
+
+@pytest.mark.parametrize("algo", ["sac", "td3"])
+def test_offpolicy_psum_equivalence(algo):
+    """One off-policy train iteration (env scan + ring writes + grad updates)
+    8-way sharded (env batch dim 0, replay ring dim 1 over 'data') vs the
+    single-device run under the same seed."""
+    from massive_marl_tpu.algos.rl.offpolicy import OffPolicy, OffPolicyConfig
+    E = 2 * N_DEV
+    cfg = OffPolicyConfig(algo=algo, nsteps=4, noptepochs=1, nminibatches=2,
+                          replay_size=16, batch_size=4, hidden_nodes=32,
+                          hidden_layer=2)
+    ref = OffPolicy(ToyEnv(), num_envs=E, cfg=cfg, seed=0, print_log=False)
+    ts_ref, m_ref = ref._train_iter(ref.init_state())
+
+    mesh = meshlib.make_mesh(N_DEV)
+    sh = OffPolicy(ToyEnv(), num_envs=E, cfg=cfg, seed=0, print_log=False,
+                   mesh=mesh)
+    with mesh:
+        ts_sh, m_sh = sh._train_iter(sh.init_state())
+        jax.block_until_ready(ts_sh.params)
+
+    _assert_tree_close(ts_ref.params, ts_sh.params, algo)
+    _assert_tree_close(ts_ref.target_params, ts_sh.target_params, algo)
+    for k in m_ref:
+        np.testing.assert_allclose(float(m_ref[k]), float(m_sh[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=f"{algo} {k}")
+    # replay ring stayed sharded on its env axis across all devices
+    leaf = ts_sh.replay.obs
+    assert len(leaf.sharding.device_set) == N_DEV
+
+
+def test_maddpg_psum_equivalence():
+    from massive_marl_tpu.algos.marl.maddpg import MaddpgConfig, MaddpgRunner
+    from tests.test_marl import TeamEnv
+    E = 2 * N_DEV
+    cfg = MaddpgConfig(nsteps=4, replay_size=16, batch_size=4, hidden=32,
+                       layers=2)
+    ref = MaddpgRunner(TeamEnv(), num_envs=E, cfg=cfg, seed=0, print_log=False)
+    ts0 = ref.init_state()
+    ts0, _ = ref._collect_iter(ts0)
+    ts_ref, m_ref = ref._train_iter(ts0)
+
+    mesh = meshlib.make_mesh(N_DEV)
+    sh = MaddpgRunner(TeamEnv(), num_envs=E, cfg=cfg, seed=0, print_log=False,
+                      mesh=mesh)
+    with mesh:
+        ts1 = sh.init_state()
+        ts1, _ = sh._collect_iter(ts1)
+        ts_sh, m_sh = sh._train_iter(ts1)
+        jax.block_until_ready(ts_sh.actor_params)
+
+    _assert_tree_close(ts_ref.actor_params, ts_sh.actor_params, "maddpg-actor")
+    _assert_tree_close(ts_ref.critic_params, ts_sh.critic_params, "maddpg-critic")
+    for k in ("mean_reward", "critic_loss"):
+        np.testing.assert_allclose(float(m_ref[k]), float(m_sh[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
+    assert len(ts_sh.replay.obs.sharding.device_set) == N_DEV
+
+
+def test_mat_psum_equivalence():
+    from massive_marl_tpu.algos.marl.mat import MatConfig, MatRunner
+    from tests.test_marl import TeamEnv
+    E = 2 * N_DEV
+    cfg = MatConfig(episode_length=4, ppo_epoch=2, embed=16, blocks=1)
+    ref = MatRunner(TeamEnv(), num_envs=E, cfg=cfg, seed=0, print_log=False)
+    ts_ref, m_ref = ref._train_iter(ref.init_state())
+
+    mesh = meshlib.make_mesh(N_DEV)
+    sh = MatRunner(TeamEnv(), num_envs=E, cfg=cfg, seed=0, print_log=False,
+                   mesh=mesh)
+    with mesh:
+        ts_sh, m_sh = sh._train_iter(sh.init_state())
+        jax.block_until_ready(ts_sh.params)
+
+    _assert_tree_close(ts_ref.params, ts_sh.params, "mat")
+    for k in ("mean_reward", "value_loss"):
+        np.testing.assert_allclose(float(m_ref[k]), float(m_sh[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
+    leaf = jax.tree_util.tree_leaves(ts_sh.env_state)[0]
+    assert len(leaf.sharding.device_set) == N_DEV
+
+
+def test_recurrent_marl_psum_equivalence():
+    from massive_marl_tpu.algos.marl.recurrent_runner import RecurrentMarlRunner
+    from tests.test_marl import TeamEnv
+    E = 2 * N_DEV
+    cfg = MarlConfig(algorithm_name="mappo", episode_length=4, ppo_epoch=2,
+                     hidden_size=32, layer_n=1, use_recurrent_policy=True,
+                     data_chunk_length=2)
+    ref = RecurrentMarlRunner(TeamEnv(), num_envs=E, cfg=cfg, seed=0,
+                              print_log=False)
+    ts_ref, m_ref = ref._train_iter(ref.init_state())
+
+    mesh = meshlib.make_mesh(N_DEV)
+    sh = RecurrentMarlRunner(TeamEnv(), num_envs=E, cfg=cfg, seed=0,
+                             print_log=False, mesh=mesh)
+    with mesh:
+        ts0 = meshlib.apply_sharding(sh.init_state(), mesh)
+        ts_sh, m_sh = sh._train_iter(ts0)
+        jax.block_until_ready(ts_sh.actor_params)
+
+    _assert_tree_close(ts_ref.actor_params, ts_sh.actor_params, "rmappo-actor")
+    _assert_tree_close(ts_ref.critic_params, ts_sh.critic_params, "rmappo-critic")
+    for k in ("mean_reward", "value_loss"):
+        np.testing.assert_allclose(float(m_ref[k]), float(m_sh[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)

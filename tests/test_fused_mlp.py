@@ -62,7 +62,7 @@ def test_actor_grads_match_flax(stacked_actor):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
-@pytest.mark.parametrize("algo", ["mappo", "happo"])
+@pytest.mark.parametrize("algo", ["mappo", "happo", "hatrpo"])
 def test_runner_fused_iteration_matches_flax(algo):
     """One full MARL train iteration, fused vs flax update path, same seed:
     metrics agree to bf16 tolerance and the fused path stays finite."""
@@ -210,3 +210,118 @@ def test_tower_need_dx_matches_per_layer_dx():
     scale = max(1.0, float(np.abs(np.asarray(dx1)).max()))
     np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx1),
                                rtol=0, atol=5e-2 * scale)
+
+
+# ---------------------------------------------------------------------------
+# manual JVP / Fisher-vector products (VERDICT r2 item 3: fused HATRPO)
+# ---------------------------------------------------------------------------
+
+def test_actor_jvp_matches_flax_jvp(stacked_actor):
+    """fused_nets.actor_apply_jvp (fused fwd + plain-XLA tangent) vs
+    jax.jvp through the vmapped flax actor, along a random parameter
+    tangent.  bf16-stream tolerances."""
+    actor, params, obs = stacked_actor
+    key = jax.random.PRNGKey(5)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    tangent = jax.tree_util.tree_unflatten(
+        treedef, [0.05 * jax.random.normal(jax.random.fold_in(key, i), l.shape)
+                  for i, l in enumerate(leaves)])
+
+    (m_ref, s_ref), (dm_ref, ds_ref) = jax.jvp(
+        lambda p: jax.vmap(actor.apply)(p, obs), (params,), (tangent,))
+    m_f, s_f, dm_f, ds_f = fused_nets.actor_apply_jvp(params, tangent, obs)
+
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_ref),
+                               rtol=0, atol=3e-2)
+    scale = max(float(np.abs(np.asarray(dm_ref)).max()), 1e-3)
+    np.testing.assert_allclose(np.asarray(dm_f), np.asarray(dm_ref),
+                               rtol=0, atol=5e-2 * scale)
+    np.testing.assert_allclose(np.asarray(ds_f), np.asarray(ds_ref),
+                               rtol=2e-4, atol=1e-7)
+
+
+def test_fvp_gauss_newton_matches_jvp_of_grad(stacked_actor):
+    """The Gauss-Newton Fisher-vector product (runner.py trpo_actor_update
+    fused branch: J^T M (J v) with the diagonal Gaussian output metric)
+    equals jvp(grad(mean_kl)) on the flax actor at the same point."""
+    from jax.flatten_util import ravel_pytree
+    actor, params_all, obs_all = stacked_actor
+    # single agent (HATRPO updates agents sequentially)
+    ap = jax.tree_util.tree_map(lambda x: x[0], params_all)
+    obs = obs_all[0]
+    flat, unravel = ravel_pytree(ap)
+    mean_o, std_o = actor.apply(ap, obs)
+
+    def mean_kl(p_flat):
+        mean, std = actor.apply(unravel(p_flat), obs)
+        return jnp.mean(jnp.sum(
+            jnp.log(std / std_o)
+            + (std_o**2 + (mean_o - mean) ** 2) / (2.0 * std**2) - 0.5, axis=-1))
+
+    v = 0.1 * jax.random.normal(jax.random.PRNGKey(9), flat.shape)
+    fvp_ref = jax.jvp(jax.grad(mean_kl), (flat,), (v,))[1]
+
+    # Gauss-Newton with the FLAX apply (isolates the identity from kernel
+    # rounding); the fused variant is the same composition in runner.py
+    Bn = obs.shape[0]
+
+    def apply_tree(p):
+        return actor.apply(p, obs)
+
+    _, (dmean, dstd) = jax.jvp(apply_tree, (ap,), (unravel(v),))
+    u_mean = dmean / (std_o ** 2) / Bn
+    u_std = 2.0 * dstd / (std_o ** 2) / Bn
+    _, pull = jax.vjp(apply_tree, ap)
+    (gt,) = pull((u_mean, u_std))
+    fvp_gn = ravel_pytree(gt)[0]
+    np.testing.assert_allclose(np.asarray(fvp_gn), np.asarray(fvp_ref),
+                               rtol=1e-4, atol=1e-6)
+
+    # and the FUSED composition stays close to the flax one
+    m_f, s_f, dm_f, ds_f = fused_nets.actor_apply_jvp(
+        jax.tree_util.tree_map(lambda x: x[None], ap),
+        jax.tree_util.tree_map(lambda x: x[None], unravel(v)),
+        obs[None])
+    u_mean_f = dm_f[0] / (std_o ** 2) / Bn
+    u_std_f = 2.0 * ds_f[0] / (std_o ** 2) / Bn
+    def apply_fused(p):
+        m, s = fused_nets.actor_apply(
+            jax.tree_util.tree_map(lambda x: x[None], p), obs[None])
+        return m[0], s[0]
+    _, pull_f = jax.vjp(apply_fused, ap)
+    (gt_f,) = pull_f((u_mean_f, u_std_f))
+    fvp_fused = ravel_pytree(gt_f)[0]
+    scale = max(float(np.abs(np.asarray(fvp_ref)).max()), 1e-4)
+    np.testing.assert_allclose(np.asarray(fvp_fused), np.asarray(fvp_ref),
+                               rtol=0, atol=8e-2 * scale)
+
+
+@pytest.mark.parametrize("algo", ["happo", "hatrpo"])
+def test_fused_factor_trainers_sharded_match_single_device(algo):
+    """HAPPO/HATRPO with the fused update under shard_map on the virtual
+    8-device mesh equal the single-device fused run (sequential factor scan
+    with pmean'd grads/losses/value stats; HATRPO adds the Gauss-Newton
+    Fisher-vector products) - VERDICT r2 item 2's fused-under-mesh gap."""
+    from massive_marl_tpu.algos.marl.runner import MarlConfig, MarlRunner
+    from massive_marl_tpu.envs.ten_ant import TenAntEnv
+    from massive_marl_tpu.parallel import mesh as meshlib
+
+    env = TenAntEnv({"sim": {"substeps": 2}})
+    cfg = MarlConfig(algorithm_name=algo, hidden_size=128, ppo_epoch=1,
+                     ls_step=3, use_fused_mlp=True)
+    out = {}
+    for mesh in (None, meshlib.make_mesh(8)):
+        r = MarlRunner(env, num_envs=16, cfg=cfg, seed=3, print_log=False,
+                       mesh=mesh)
+        ts = r.init_state()
+        if mesh is not None:
+            ts = meshlib.apply_sharding(ts, mesh)
+        with (mesh or jax.sharding.Mesh(np.array(jax.devices()[:1]), ("x",))):
+            ts, metrics = r._train_iter(ts)
+        out[mesh is None] = {k: float(v) for k, v in metrics.items()}
+        assert np.isfinite(list(out[mesh is None].values())).all()
+    assert out[True]["mean_reward"] == pytest.approx(out[False]["mean_reward"], abs=1e-5)
+    assert out[True]["value_loss"] == pytest.approx(out[False]["value_loss"],
+                                                    rel=0.05, abs=0.02)
+    assert out[True]["policy_loss"] == pytest.approx(out[False]["policy_loss"],
+                                                     rel=0.05, abs=0.02)

@@ -51,10 +51,11 @@ def engine_substep(sys, qpos, qvel, tau, box_qpos, box_qvel, he, h):
                                        box_inv=(1.0 / bm, engine._inv3x3_sym(jnp.asarray(bI))))
     f_pts = f_pts + f_box
     f_ext = engine.accumulate_body_forces(sys, p_w, f_pts, fk.base)
-    t_lim, d_lim = engine.joint_limit_spring(sys, qpos)
+    t_lim, d_lim, k_lim = engine.joint_limit_spring(sys, qpos)
     qacc = engine.forward_dynamics(sys, fk, qvel, tau + t_lim, f_ext,
                                    jnp.asarray(GRAV),
-                                   imp_damping=sys.damping + d_lim, h=h)
+                                   imp_damping=sys.damping + d_lim, h=h,
+                                   imp_stiffness=k_lim)
     qp, qv = engine.integrate(sys, qpos, qvel, qacc, h)
     return qp, qv, wrench
 
@@ -120,10 +121,11 @@ def test_scalar_matches_engine_no_box(ant_model):
         f_pts = engine.contact_plane(p_w, v_w, sys.point_radius, sys.point_friction,
                                      CP, pi=pi, h=h)
         f_ext = engine.accumulate_body_forces(sys, p_w, f_pts, fk.base)
-        t_lim, d_lim = engine.joint_limit_spring(sys, a)
+        t_lim, d_lim, k_lim = engine.joint_limit_spring(sys, a)
         qacc = engine.forward_dynamics(sys, fk, b, t + t_lim, f_ext,
                                        jnp.asarray(GRAV),
-                                       imp_damping=sys.damping + d_lim, h=h)
+                                       imp_damping=sys.damping + d_lim, h=h,
+                                       imp_stiffness=k_lim)
         return engine.integrate(sys, a, b, qacc, h)
 
     def sca(a, b, t):

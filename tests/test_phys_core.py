@@ -159,9 +159,10 @@ def test_ant_drop_settles_on_plane():
         f_pts = engine.contact_plane(p_w, v_w, sys.point_radius,
                                      sys.point_friction, cp, pi=pi, h=dt)
         f_ext = engine.accumulate_body_forces(sys, p_w, f_pts, fk.base)
-        t_lim, d_lim = engine.joint_limit_spring(sys, qpos)
+        t_lim, d_lim, k_lim = engine.joint_limit_spring(sys, qpos)
         qacc = engine.forward_dynamics(sys, fk, qvel, t_lim, f_ext, GRAV,
-                                       imp_damping=sys.damping + d_lim, h=dt)
+                                       imp_damping=sys.damping + d_lim, h=dt,
+                                       imp_stiffness=k_lim)
         qpos2, qvel2 = engine.integrate(sys, qpos, qvel, qacc, dt)
         return (qpos2, qvel2), qpos2[2]
 
