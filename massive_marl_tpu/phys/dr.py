@@ -32,6 +32,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from .system import System
@@ -182,3 +183,36 @@ def noise_fn(spec: Dict[str, Any] | None):
         return _apply(spec, x, noise)
 
     return f
+
+
+def get_actor_params_info(spec: Dict[str, Any], sys: System):
+    """(params, names, lows, highs) for every randomizable scalar - the DR
+    introspection surface of the reference (base_task.py:178-213: flat
+    per-attribute lists with `prop_attr_idx`-style names; non-uniform
+    distributions report infinite bounds).  `spec` is the `actor_params.ant`
+    subtree; the current (nominal) values come from the System.
+
+    Used by external parameter samplers / debugging, not the hot path."""
+    params, names, lows, highs = [], [], [], []
+
+    def emit(prop_name, attr, values, prop_cfg):
+        lo_hi = prop_cfg["range"]
+        if "uniform" not in prop_cfg.get("distribution", "uniform"):
+            lo_hi = (-float("inf"), float("inf"))
+        vals = np.asarray(values).reshape(-1)
+        for i, v in enumerate(vals):
+            params.append(float(v))
+            names.append(f"{prop_name}_{i}_{attr}")
+            lows.append(float(lo_hi[0]))
+            highs.append(float(lo_hi[1]))
+
+    rb = spec.get("rigid_body_properties", {})
+    if "mass" in rb:
+        emit("rigid_body_properties", "mass", sys.mass, rb["mass"])
+    dof = spec.get("dof_properties", {})
+    for attr, source in (("damping", sys.damping), ("stiffness", sys.armature),
+                         ("lower", sys.jnt_range[:, 0] if sys.nj else []),
+                         ("upper", sys.jnt_range[:, 1] if sys.nj else [])):
+        if attr in dof:
+            emit("dof_properties", attr, source, dof[attr])
+    return params, names, lows, highs

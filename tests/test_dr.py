@@ -145,3 +145,26 @@ def test_env_correlated_noise_held_between_rerandomizations():
     st2 = jax.jit(env.step)(st.replace(done=jnp.asarray(True)), a)
     np.testing.assert_array_equal(np.asarray(st2.pipeline.corr_key),
                                   np.asarray(held))
+
+
+def test_get_actor_params_info():
+    """DR introspection surface (base_task.py:178-213): flat per-scalar
+    (params, names, lows, highs); non-uniform distributions report infinite
+    bounds."""
+    from massive_marl_tpu.phys import mjcf
+    model = mjcf.parse_mjcf(mjcf.asset_path("ant.xml"))
+    sys = model.system
+    spec = {"rigid_body_properties": {"mass": {"range": [0.5, 1.5],
+                                               "operation": "scaling"}},
+            "dof_properties": {
+                "damping": {"range": [0.0, 0.01], "operation": "additive",
+                            "distribution": "gaussian"}}}
+    params, names, lows, highs = dr.get_actor_params_info(spec, sys)
+    nb, nj = sys.nb, sys.nj
+    assert len(params) == len(names) == len(lows) == len(highs) == nb + nj
+    assert names[0] == "rigid_body_properties_0_mass"
+    np.testing.assert_allclose(params[:nb], np.asarray(sys.mass), rtol=1e-6)
+    assert lows[0] == 0.5 and highs[0] == 1.5
+    # gaussian -> infinite bounds (base_task.py:199-201)
+    assert np.isinf(lows[nb]) and np.isinf(highs[nb])
+    np.testing.assert_allclose(params[nb:], np.asarray(sys.damping), rtol=1e-6)
