@@ -90,6 +90,9 @@ class MarlConfig:
     use_linear_lr_decay: bool = False    # reference runner.py:123
     use_max_grad_norm: bool = True
     use_recurrent_policy: bool = False   # GRU path (actor_critic.py:35-36)
+    bf16_adam_mu: bool = False           # Adam first moment in bf16 (perf lever,
+                                         # measured in BASELINE.md; off = exact
+                                         # torch-Adam f32 parity)
     use_huber_loss: bool = True
     use_clipped_value_loss: bool = True
     data_chunk_length: Any = None        # recurrent minibatch chunk (see recurrent_runner)
@@ -271,7 +274,9 @@ class MarlRunner:
             # torch Adam(weight_decay=wd): decay added to the gradient BEFORE
             # the moment updates
             chain.append(optax.add_decayed_weights(c.weight_decay))
-        chain.append(optax.adam(lr, eps=c.opti_eps))
+        chain.append(optax.adam(
+            lr, eps=c.opti_eps,
+            mu_dtype=jnp.bfloat16 if c.bf16_adam_mu else None))
         return optax.chain(*chain)
 
     # ------------------------------------------------------------------ setup
@@ -783,11 +788,18 @@ class MarlRunner:
                     jax.random.split(key, cfg.ppo_epoch))
             return ap, ao, cp, co, vn, al.mean(), vl.mean()
 
-        def train_iter(ts: MarlTrainState):
-            # ---------- rollout ----------
+        def rollout_phase(ts: MarlTrainState):
+            """T env steps under the current policy -> (env_state, key, traj).
+            Split out of train_iter so the profiling harness can time the
+            rollout and update phases independently and measure whether a
+            pipelined (1-iteration-stale) schedule could overlap them
+            (scripts/profile_marl.py)."""
             (env_state, key, _, _), traj = jax.lax.scan(
                 rollout_step, (ts.env_state, ts.key, ts.actor_params, ts.critic_params),
                 None, length=T)
+            return env_state, key, traj
+
+        def update_phase(ts: MarlTrainState, env_state, key, traj):
             last_buf = jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs)
             _, last_cin = self._agent_views(last_buf)
             last_values = value_all(ts.critic_params, last_cin)       # [E,N]
@@ -1004,6 +1016,12 @@ class MarlRunner:
                                   ep_ret=ep_ret, last_ep_ret=last_ep,
                                   ep_count=ep_cnt), metrics
 
+        def train_iter(ts: MarlTrainState):
+            env_state, key, traj = rollout_phase(ts)
+            return update_phase(ts, env_state, key, traj)
+
+        train_iter.rollout_phase = rollout_phase
+        train_iter.update_phase = update_phase
         return train_iter
 
     # ---------------------------------------------------------------- driving

@@ -94,6 +94,46 @@ def main():
     dt = time_scanned(lambda es: batched_step(env)(es, a0), ts.env_state, n=20, rtt=rtt)
     print(f"env.step             {dt*1e3:9.3f} ms/step", flush=True)
 
+    # 5. update phase alone + the rollout/update overlap probe (VERDICT r2
+    # item 4).  A pipelined schedule would run iteration t's update while
+    # rolling out iteration t+1 with 1-step-stale data; its best case is
+    # max(rollout, update) instead of their sum.  Whether that best case is
+    # reachable on ONE TensorCore is exactly what the combined program
+    # measures: rollout_phase and update_phase with INDEPENDENT dataflow in
+    # a single jit - if XLA serializes them (one core, both phases
+    # contending for the same MXU/HBM), t_combined ~= t_roll + t_upd and
+    # pipelining buys nothing on a single chip.
+    if os.environ.get("PROF_OVERLAP", "1") != "0":
+        roll = train_iter.rollout_phase
+        upd = train_iter.update_phase
+        es0, k0, traj0 = jax.jit(roll)(ts)
+        traj0 = jax.tree_util.tree_map(jax.block_until_ready, traj0)
+
+        dt_u = time_scanned(lambda t: upd(t, es0, k0, traj0)[0], ts, n=10, rtt=rtt)
+        print(f"update phase alone   {dt_u*1e3:9.3f} ms", flush=True)
+
+        def combined(t):
+            es2, k2, _traj2 = roll(t)                # fresh rollout ...
+            t2, _ = upd(t, es0, k0, traj0)           # ... while updating on
+            return t2.replace(env_state=es2, key=k2)  # a stale buffer
+
+        dt_c = time_scanned(combined, ts, n=10, rtt=rtt)
+        print(f"pipelined combined   {dt_c*1e3:9.3f} ms  "
+              f"(serial bound = roll+upd; ideal overlap = max(roll, upd))",
+              flush=True)
+
+    # 6. bf16 Adam first-moment variant (VERDICT r2 item 4 lever): halves
+    # the mu read+write traffic of every optimizer step.
+    if algo in ("mappo", "ippo") and os.environ.get("PROF_BF16_MU", "1") != "0":
+        runner_b = MarlRunner(env, num_envs=E,
+                              cfg=MarlConfig(algorithm_name=algo, bf16_adam_mu=True),
+                              seed=0, print_log=False)
+        ts_b = runner_b.init_state()
+        it_b = runner_b._make_train_iter()
+        dt_b = time_scanned(lambda t: it_b(t)[0], ts_b, n=10, rtt=rtt)
+        print(f"train_iter bf16-mu   {dt_b*1e3:9.3f} ms  -> {T*E/dt_b:,.0f} env-steps/s",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -2,7 +2,7 @@
 # Round-3 TPU validation batch (run on the axon chip, NOT under pytest).
 # Ordering front-loads the compile-heavy jobs so the cache warms once.
 set -x
-export PYTHONPATH=/root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
 mkdir -p /tmp/val_r3
 cd /root/repo
 

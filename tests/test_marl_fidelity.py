@@ -353,3 +353,38 @@ def test_recurrent_minibatch_and_happo_chunked():
     assert jnp.isfinite(metrics["value_loss"]).item()
     assert all(bool(jnp.isfinite(x).all())
                for x in jax.tree_util.tree_leaves(ts.actor_params))
+
+
+# ---------------------------------------------------------------------------
+# phase split (profiling surface) + bf16 Adam moments
+# ---------------------------------------------------------------------------
+
+def test_train_iter_phase_split_is_semantics_preserving():
+    """rollout_phase/update_phase (exposed for scripts/profile_marl.py's
+    overlap probe) compose to exactly train_iter."""
+    cfg = MarlConfig(algorithm_name="mappo", episode_length=4, ppo_epoch=2,
+                     hidden_size=32, layer_n=1)
+    runner = MarlRunner(TeamEnv(), num_envs=8, cfg=cfg, seed=0, print_log=False)
+    ts = runner.init_state()
+    it = runner._make_train_iter()
+    ts_a, m_a = jax.jit(it)(ts)
+    es, k, traj = jax.jit(it.rollout_phase)(ts)
+    ts_b, m_b = jax.jit(lambda t: it.update_phase(t, es, k, traj))(ts)
+    assert jnp.allclose(m_a["mean_reward"], m_b["mean_reward"])
+    for la, lb in zip(jax.tree_util.tree_leaves(ts_a.actor_params),
+                      jax.tree_util.tree_leaves(ts_b.actor_params)):
+        assert jnp.allclose(la, lb)
+
+
+def test_bf16_adam_mu_trains_and_halves_moment_storage():
+    cfg = MarlConfig(algorithm_name="mappo", episode_length=4, ppo_epoch=2,
+                     hidden_size=32, layer_n=1, bf16_adam_mu=True)
+    runner = MarlRunner(TeamEnv(), num_envs=8, cfg=cfg, seed=0, print_log=False)
+    ts = runner.init_state()
+    ts, metrics = runner._train_iter(ts)
+    assert jnp.isfinite(metrics["mean_reward"]).item()
+    dts = {str(x.dtype) for x in jax.tree_util.tree_leaves(ts.actor_opt)
+           if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)}
+    assert "bfloat16" in dts  # mu in bf16; nu/params stay f32
+    for leaf in jax.tree_util.tree_leaves(ts.actor_params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
