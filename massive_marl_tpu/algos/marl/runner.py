@@ -361,22 +361,28 @@ class MarlRunner:
                 m, s = f_actor(one, o[None], prenormed)
                 return m[0], s[0]
 
-            def a_apply_jvp(p, dp, o, prenormed=False):
-                """One agent: (mean, std, dmean, dstd) along param tangent dp
-                (fused_nets.actor_apply_jvp; HATRPO Fisher-vector products)."""
+            def a_linearize(p, o, prenormed=False):
+                """One agent: (mean, std, tangent) with tangent(dp) ->
+                (dmean, dstd).  The fused forward + tangent-constant operands
+                are computed ONCE; HATRPO's CG evaluates the tangent ~11
+                times per agent at the same point (fused_nets.actor_linearize)."""
                 one = jax.tree_util.tree_map(lambda x: x[None], p)
-                done_ = jax.tree_util.tree_map(lambda x: x[None], dp)
-                m, s, dm, ds = fused_nets.actor_apply_jvp(
-                    one, done_, o[None], std_x_coef=cfg.std_x_coef,
+                m, s, tangent1 = fused_nets.actor_linearize(
+                    one, o[None], std_x_coef=cfg.std_x_coef,
                     std_y_coef=cfg.std_y_coef, layer_n=cfg.layer_n,
                     prenormed=prenormed)
-                return m[0], s[0], dm[0], ds[0]
+
+                def tangent(dp):
+                    done_ = jax.tree_util.tree_map(lambda x: x[None], dp)
+                    dm, ds = tangent1(done_)
+                    return dm[0], ds[0]
+                return m[0], s[0], tangent
 
             def c_apply(p, o, prenormed=False):
                 one = jax.tree_util.tree_map(lambda x: x[None], p)
                 return f_critic(one, o[None], prenormed)[0]
         else:
-            a_apply_jvp = None
+            a_linearize = None
             def a_apply(p, o, prenormed=False):
                 return actor.apply(p, o)
 
@@ -599,7 +605,7 @@ class MarlRunner:
             With the fused kernels the Fisher-vector product uses the
             Gauss-Newton identity F v = J^T M (J v) (exact at the
             linearization point: the KL's output-space gradient vanishes
-            there): J v via the manual tangent (a_apply_jvp), M the diagonal
+            there): J v via the hoisted manual tangent (a_linearize), M the diagonal
             output-space Gaussian Fisher (1/std^2 mean block, 2/std^2 std
             block), J^T via the custom-VJP pullback.  Without the fused path
             it is the classic jvp-of-grad on the flax actor."""
@@ -645,12 +651,19 @@ class MarlRunner:
 
             if use_fused:
                 Bn = batch["actions"].shape[0]
+                # The linearization point is FIXED across the whole CG solve,
+                # so the fused primal forward + tangent-constant operands
+                # (a_linearize) and the VJP residuals (jax.vjp) are hoisted
+                # OUT of fvp.  r2 ran both inside every FVP call - two extra
+                # fused forwards x ~11 CG evaluations per agent, the dominant
+                # HATRPO cost (BASELINE.md r3 HATRPO row).
+                _, _, tangent = a_linearize(ap, obs_in, pren)
+                _, pull = jax.vjp(lambda p: a_apply(p, obs_in, pren), ap)
 
                 def fvp(v):
-                    _, _, dmean, dstd = a_apply_jvp(ap, unravel(v), obs_in, pren)
+                    dmean, dstd = tangent(unravel(v))
                     u_mean = dmean / (std_o ** 2) / Bn
                     u_std = 2.0 * dstd / (std_o ** 2) / Bn
-                    _, pull = jax.vjp(lambda p: a_apply(p, obs_in, pren), ap)
                     (gt,) = pull((u_mean, u_std))
                     out = ravel_pytree(gt)[0]
                     if axis_name:   # global Fisher = mean of shard Fishers

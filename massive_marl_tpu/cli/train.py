@@ -32,6 +32,48 @@ def process_sarl(args, env, cfg_train, logdir, num_envs):
     return trainer
 
 
+def export_viewer(env, runner, logdir, task, n_steps: int | None = None):
+    """Interactive-episode export on `--test` without --headless: rolls one
+    deterministic episode and writes a self-contained viewer_<task>.html
+    (utils/viewer.export_interactive - playback/camera/keyboard, the TPU-side
+    counterpart of the reference's IsaacGym viewer, base_task.py:90-109).
+    Best-effort: the viewer is cosmetic, so failures only warn."""
+    import jax
+    import jax.numpy as jnp
+
+    from massive_marl_tpu.utils.viewer import (export_interactive,
+                                               record_episode_3d)
+    if n_steps is None:
+        n_steps = int(os.environ.get("VIEWER_STEPS", 200))
+    try:
+        state = runner.state if getattr(runner, "state", None) is not None \
+            else runner.init_state()
+        if hasattr(runner, "actor"):        # MARL runner: per-agent means
+            clip = runner.cfg.clip_obs
+
+            def policy(obs):
+                o, _ = runner._agent_views(jnp.clip(obs, -clip, clip)[None])
+                mean, _ = jax.vmap(lambda p, x: runner.actor.apply(p, x),
+                                   in_axes=(0, 1), out_axes=1)(
+                    state.actor_params, o)
+                return jnp.clip(mean[0].reshape(-1), -1, 1)
+        else:                               # SARL: joint-action mean
+            clip = runner.cfg.clip_obs
+
+            def policy(obs):
+                mean, _, _ = runner.model.apply(
+                    state.params, jnp.clip(obs, -clip, clip)[None])
+                return jnp.clip(mean[0], -1, 1)
+
+        ant, box = record_episode_3d(env, policy, n_steps=n_steps)
+        out = os.path.join(logdir or ".", f"viewer_{task}.html")
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        export_interactive(ant, box, out=out)
+        print("interactive viewer written:", out)
+    except Exception as e:  # noqa: BLE001 - cosmetic surface
+        print(f"viewer export skipped ({type(e).__name__}: {e})")
+
+
 def evaluate_sarl(trainer, env, num_envs, n_episodes: int = 32, seed: int = 0):
     """Deterministic (mean-action) episode evaluation - the bounded,
     episode-faithful version of the reference's endless --test loop
@@ -110,6 +152,8 @@ def train(args=None):
                 runner.restore(path)
         if args.test:
             print("eval mean episode reward:", runner.eval())
+            if not args.headless:
+                export_viewer(env, runner, logdir, args.task)
             return runner
         if algo == "maddpg":
             # off-policy runner counts iterations, not env steps
@@ -134,6 +178,8 @@ def train(args=None):
                 trainer.load(path)
         if args.test:
             print("eval mean reward/step:", evaluate_sarl(trainer, env, num_envs))
+            if not args.headless:
+                export_viewer(env, trainer, logdir, args.task)
             return trainer
         n = args.max_iterations or None
         trainer.run(n)

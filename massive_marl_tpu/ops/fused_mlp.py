@@ -536,15 +536,18 @@ def _ln_tangent(a, da, g, dg, dbe):
     return dyhat * g[:, None, :] + yhat * dg[:, None, :] + dbe[:, None, :]
 
 
-def mlp_base_stacked_jvp(params: dict, dparams: dict, x: jnp.ndarray,
-                         layer_n: int = 2, prenormed: bool = False,
-                         interpret: bool | None = None):
-    """(h, dh): mlp_base_stacked forward + its parameter-directional tangent.
+def mlp_base_stacked_linearize(params: dict, x: jnp.ndarray,
+                               layer_n: int = 2, prenormed: bool = False,
+                               interpret: bool | None = None):
+    """Forward on the fused kernels + everything the parameter-directional
+    tangent needs, saved ONCE at the linearization point.
 
-    dparams: tangent tree with the same structure as params.  The obs tangent
-    is zero (FVPs differentiate w.r.t. parameters only).  Forward runs on the
-    fused kernels (y and the saved activation a per layer); the tangent runs
-    in plain XLA from a.  Returns h [N,B,H] bf16 and dh [N,B,H] f32.
+    Returns (h, saved).  `saved` holds per layer: the layer input stream
+    (bf16), the post-input-affine stream xt (bf16, constant across tangent
+    calls), the activation a, and the padded W - so repeated tangent
+    evaluations (HATRPO runs ~11 Fisher-vector products per CG solve at a
+    FIXED linearization point, runner.py trpo_actor_update) never re-run the
+    fused forward.  `mlp_base_stacked_tangent` consumes it.
     """
     if interpret is None:
         interpret = _auto_interpret()
@@ -554,48 +557,84 @@ def mlp_base_stacked_jvp(params: dict, dparams: dict, x: jnp.ndarray,
         raise ValueError(f"B={B} has no supported row block")
     if not prenormed:
         x = feature_norm(x)
-    h, dh = x, None
+    h = x
+    saved = []
     for li in range(1 + layer_n):
         w = params[f"Dense_{li}"]["kernel"]
-        dw = dparams[f"Dense_{li}"]["kernel"]
         if w.shape[1] % 128:
-            pad = (-w.shape[1]) % 128
-            w = jnp.pad(w, [(0, 0), (0, pad), (0, 0)])
-            dw = jnp.pad(dw, [(0, 0), (0, pad), (0, 0)])
+            w = jnp.pad(w, [(0, 0), (0, (-w.shape[1]) % 128), (0, 0)])
         bias = params[f"Dense_{li}"]["bias"]
-        dbias = dparams[f"Dense_{li}"]["bias"]
         ln = params[f"LayerNorm_{li + 1}"]
-        dln = dparams[f"LayerNorm_{li + 1}"]
         din = w.shape[1]
         if li == 0:
-            ln0, dln0 = params["LayerNorm_0"], dparams["LayerNorm_0"]
+            ln0 = params["LayerNorm_0"]
             pad0 = din - ln0["scale"].shape[-1]
             g0 = jnp.pad(ln0["scale"], [(0, 0), (0, pad0)])
             b0 = jnp.pad(ln0["bias"], [(0, 0), (0, pad0)])
-            dg0 = jnp.pad(dln0["scale"], [(0, 0), (0, pad0)])
-            db0 = jnp.pad(dln0["bias"], [(0, 0), (0, pad0)])
         else:
             g0 = jnp.ones((N, din), jnp.float32)
             b0 = jnp.zeros((N, din), jnp.float32)
-            dg0 = db0 = jnp.zeros((N, din), jnp.float32)
         y, a = _fwd_call(h, w, bias, ln["scale"], ln["bias"], g0, b0,
                          bm, interpret)
-        # dh_pre = (dx*g0 + x*dg0 + db0) @ W + (x*g0 + b0) @ dW + db
         xf = h.astype(jnp.float32)
+        xt = (xf * g0[:, None, :] + b0[:, None, :]).astype(jnp.bfloat16)
+        saved.append(dict(x=h, xt=xt, a=a, w16=w.astype(jnp.bfloat16),
+                          g0=g0, scale=ln["scale"]))
+        h = y
+    return h, saved
+
+
+def mlp_base_stacked_tangent(params: dict, dparams: dict, saved,
+                             layer_n: int = 2) -> jnp.ndarray:
+    """Parameter-directional tangent dh from a saved linearization
+    (`mlp_base_stacked_linearize`).  Plain XLA; no fused-forward re-run.
+    The obs tangent is zero (FVPs differentiate w.r.t. parameters only)."""
+    dh = None
+    for li in range(1 + layer_n):
+        s = saved[li]
+        dw = dparams[f"Dense_{li}"]["kernel"]
+        if dw.shape[1] % 128:
+            dw = jnp.pad(dw, [(0, 0), (0, (-dw.shape[1]) % 128), (0, 0)])
+        dbias = dparams[f"Dense_{li}"]["bias"]
+        dln = dparams[f"LayerNorm_{li + 1}"]
+        din = dw.shape[1]
+        N = dw.shape[0]
+        if li == 0:
+            dln0 = dparams["LayerNorm_0"]
+            pad0 = din - dln0["scale"].shape[-1]
+            dg0 = jnp.pad(dln0["scale"], [(0, 0), (0, pad0)])
+            db0 = jnp.pad(dln0["bias"], [(0, 0), (0, pad0)])
+        else:
+            dg0 = db0 = jnp.zeros((N, din), jnp.float32)
+        # dh_pre = (dx*g0 + x*dg0 + db0) @ W + (x*g0 + b0) @ dW + db
+        xf = s["x"].astype(jnp.float32)
         dxin = xf * dg0[:, None, :] + db0[:, None, :]
         if dh is not None:
-            dxin = dxin + dh * g0[:, None, :]
-        xt = (xf * g0[:, None, :] + b0[:, None, :]).astype(jnp.bfloat16)
-        w16 = w.astype(jnp.bfloat16)
-        dhp = jnp.einsum("nbi,nio->nbo", dxin.astype(jnp.bfloat16), w16,
+            dxin = dxin + dh * s["g0"][:, None, :]
+        dhp = jnp.einsum("nbi,nio->nbo", dxin.astype(jnp.bfloat16), s["w16"],
                          preferred_element_type=jnp.float32) \
-            + jnp.einsum("nbi,nio->nbo", xt, dw.astype(jnp.bfloat16),
+            + jnp.einsum("nbi,nio->nbo", s["xt"], dw.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32) \
             + dbias[:, None, :]
-        af = a.astype(jnp.float32)
+        af = s["a"].astype(jnp.float32)
         da = jnp.where(af > 0, 1.0, af + 1.0) * dhp   # elu'(h) from a
-        dh = _ln_tangent(a, da, ln["scale"], dln["scale"], dln["bias"])
-        h = y
+        dh = _ln_tangent(s["a"], da, s["scale"], dln["scale"], dln["bias"])
+    return dh
+
+
+def mlp_base_stacked_jvp(params: dict, dparams: dict, x: jnp.ndarray,
+                         layer_n: int = 2, prenormed: bool = False,
+                         interpret: bool | None = None):
+    """(h, dh): mlp_base_stacked forward + its parameter-directional tangent.
+
+    One-shot convenience composition of linearize + tangent (kept for the
+    equivalence tests); repeated-tangent callers (HATRPO CG) should hoist
+    `mlp_base_stacked_linearize` and call `mlp_base_stacked_tangent`.
+    """
+    h, saved = mlp_base_stacked_linearize(params, x, layer_n=layer_n,
+                                          prenormed=prenormed,
+                                          interpret=interpret)
+    dh = mlp_base_stacked_tangent(params, dparams, saved, layer_n=layer_n)
     return h, dh
 
 

@@ -39,13 +39,21 @@ def test_cli_mappo_ten_ant(tmp_path):
     assert jnp.isfinite(runner.state.env_state.obs).all()
 
 
-def test_cli_test_mode_evaluates(tmp_path):
+def test_cli_test_mode_evaluates(tmp_path, monkeypatch):
     logdir = str(tmp_path / "eval")
+    monkeypatch.setenv("VIEWER_STEPS", "4")  # keep the CPU compile tiny
     trainer = train(_args([
         "--task", "OneAnt", "--algo", "ppo", "--num_envs", "4",
         "--test", "--logdir", logdir]))
     # --test returns without training
     assert int(trainer.state.iteration) == 0
+    # the interactive viewer (reference base_task.py:90-109 counterpart) is
+    # written on --test without --headless
+    import glob as g
+    html = g.glob(os.path.join(logdir, "**", "viewer_*.html"), recursive=True)
+    assert html, "viewer_<task>.html not written on --test"
+    body = open(html[0]).read()
+    assert "canvas" in body and "DATA" in body
 
 
 def test_rlgames_shim(monkeypatch, tmp_path):
