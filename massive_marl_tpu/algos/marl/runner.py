@@ -673,8 +673,19 @@ class MarlRunner:
                 def fvp(v):
                     return pm(jax.jvp(jax.grad(mean_kl_local), (flat,), (v,))[1]) + 0.1 * v
 
-            def cg(b, iters=10):
-                def body(i, st):
+            # Early exits (reference semantics: conjugate_gradient breaks at
+            # residual_tol, the line search breaks on the first accepted
+            # candidate - hatrpo_trainer.py:152-168, 232-249).  On a single
+            # device the skips are real lax.cond branches so converged /
+            # post-accept iterations cost nothing.  Under shard_map the plain
+            # unconditional bodies are kept: surrogate/mean_kl/fvp contain
+            # pmeans, and collectives under a data-dependent cond are a
+            # deadlock hazard if the compiler cannot prove shard agreement
+            # (the predicate IS shard-identical here, but we don't rely on it).
+            allow_skip = axis_name is None
+
+            def cg(b, iters=10, residual_tol=1e-10):
+                def step(st):
                     x, r, p, rs = st
                     Ap = fvp(p)
                     alpha = rs / (jnp.dot(p, Ap) + 1e-10)
@@ -683,6 +694,12 @@ class MarlRunner:
                     rs_n = jnp.dot(r, r)
                     p = r + (rs_n / (rs + 1e-10)) * p
                     return (x, r, p, rs_n)
+
+                def body(i, st):
+                    if allow_skip:
+                        return jax.lax.cond(st[3] < residual_tol,
+                                            lambda s: s, step, st)
+                    return step(st)
                 st = (jnp.zeros_like(b), b, b, jnp.dot(b, b))
                 return jax.lax.fori_loop(0, iters, body, st)[0]
 
@@ -694,14 +711,21 @@ class MarlRunner:
             expected = jnp.dot(g, full_step)
 
             def ls(carry, i):
-                accepted, best = carry
-                scale = 0.5 ** i
-                cand = flat + scale * full_step
-                improve = surrogate(cand) - old_surr
-                ratio = improve / jnp.maximum(expected * scale, 1e-10)
-                ok = (improve > 0) & (ratio > cfg.accept_ratio) & (mean_kl(cand) <= cfg.kl_threshold)
-                take = (~accepted) & ok
-                return (accepted | take, jnp.where(take, cand, best)), None
+                def try_cand(carry):
+                    accepted, best = carry
+                    scale = 0.5 ** i
+                    cand = flat + scale * full_step
+                    improve = surrogate(cand) - old_surr
+                    ratio = improve / jnp.maximum(expected * scale, 1e-10)
+                    ok = (improve > 0) & (ratio > cfg.accept_ratio) \
+                        & (mean_kl(cand) <= cfg.kl_threshold)
+                    take = (~accepted) & ok
+                    return (accepted | take, jnp.where(take, cand, best))
+                if allow_skip:
+                    carry = jax.lax.cond(carry[0], lambda c: c, try_cand, carry)
+                else:
+                    carry = try_cand(carry)
+                return carry, None
 
             (accepted, new_flat), _ = jax.lax.scan(
                 ls, (jnp.asarray(False), flat), jnp.arange(cfg.ls_step))
