@@ -135,6 +135,7 @@ class MarlConfig:
         "use_clipped_value_loss": "use_clipped_value_loss",
         "data_chunk_length": "data_chunk_length",
         "use_fused_mlp": "use_fused_mlp",
+        "bf16_adam_mu": "bf16_adam_mu",   # TPU extension (not a reference key)
         "use_eval": "use_eval", "eval_interval": "eval_interval",
         "eval_episodes": "eval_episodes",
         "save_interval": "save_interval", "log_interval": "log_interval",
