@@ -70,7 +70,7 @@ def actor_linearize(variables: dict, obs: jnp.ndarray, *,
 
     def tangent(dvariables: dict):
         dp = dvariables["params"]
-        dh = mlp_base_stacked_tangent(p["MLPBase_0"], dp["MLPBase_0"], saved,
+        dh = mlp_base_stacked_tangent(dp["MLPBase_0"], saved,
                                       layer_n=layer_n)
         dhead = dp["Dense_0"]
         dmean = jnp.einsum("nbh,nho->nbo", dh, head["kernel"]) \

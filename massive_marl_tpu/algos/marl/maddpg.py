@@ -376,5 +376,7 @@ class MaddpgRunner:
                 None, length=horizon)
             return ret.mean()
 
-        eval_key = jax.random.PRNGKey(self.seed + 10_000)
+        # iteration folded in so each periodic eval draws fresh initial states
+        eval_key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 10_000),
+                                      jnp.asarray(self.state.iteration, jnp.int32))
         return float(jax.jit(run_eval)(eval_key, self.state.actor_params))

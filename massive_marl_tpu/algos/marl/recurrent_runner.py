@@ -403,5 +403,7 @@ class RecurrentMarlRunner(MarlRunner):
 
             fn = jax.jit(run_eval)
             self._eval_fns[E_ev] = fn
-        return float(fn(jax.random.PRNGKey(self.seed + 10_000),
-                        self.state.actor_params))
+        # iteration folded in so each periodic eval draws fresh initial states
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 10_000),
+                                 jnp.asarray(self.state.iteration, jnp.int32))
+        return float(fn(key, self.state.actor_params))

@@ -698,7 +698,10 @@ class MarlRunner:
 
                 def body(i, st):
                     if allow_skip:
-                        return jax.lax.cond(st[3] < residual_tol,
+                        # the reference's break is tested AFTER the x update
+                        # (hatrpo_trainer.py:162-166), so the first iteration
+                        # always runs even for a near-zero gradient
+                        return jax.lax.cond((i > 0) & (st[3] < residual_tol),
                                             lambda s: s, step, st)
                     return step(st)
                 st = (jnp.zeros_like(b), b, b, jnp.dot(b, b))
@@ -1179,5 +1182,10 @@ class MarlRunner:
 
             fn = jax.jit(run_eval)
             self._eval_fns[E_ev] = fn
-        eval_key = jax.random.PRNGKey(self.seed + 10_000)
+        # fold the training iteration into the eval key so successive periodic
+        # evals draw fresh initial states (a single fixed draw of E initial
+        # states would score every eval on the same states; the reference
+        # resets its eval envs from the live sim phase, runner.py:351-360)
+        eval_key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 10_000),
+                                      jnp.asarray(self.state.iteration, jnp.int32))
         return float(fn(eval_key, self.state.actor_params))

@@ -60,9 +60,17 @@ class AntSceneSpec(NamedTuple):
     power_scale: float = 1.0
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
     contact: engine.ContactParams = engine.ContactParams()
-    # pair frictions: geom frictions combine multiplicatively so the
-    # zero-friction box stays frictionless against ants (ten_ant.py:548-552)
+    # Pairwise friction = combine(material_a, material_b) under
+    # `friction_combine`.  PhysX's default combine mode is eAVERAGE (the
+    # reference never overrides it, so its box[mu=0]-ground[mu=1] contact is
+    # mu~0.5, NOT frictionless); MuJoCo's rule is elementwise max;
+    # 'multiply' was this repo's rounds-1-3 rule (box frictionless against
+    # everything).  The default is chosen by the measured sensitivity study
+    # in BASELINE.md r4 (scripts/friction_sensitivity.py).
+    # Ref: /root/reference/agents/tasks/ten_ant.py:548-550 (box material
+    # zeroed), /root/reference/cfg/TenAnt.yaml:55-56 (plane mu=1.0).
     plane_friction: float = 1.0
+    friction_combine: str = "multiply"
     # domain randomization spec (actor_params.ant subtree) or None
     dr_spec: Any = None
     # joint-limit penalty override (None = engine.LIMIT_K / LIMIT_DAMP)
@@ -83,6 +91,13 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
     if has_box:
         box_inv_static = (1.0 / spec.box_sys.mass[0],
                           engine._inv3x3_sym(spec.box_sys.inertia[0]))
+        # box material friction (0.0 for the TenAnt push-box,
+        # ten_ant.py:548-550); the PAIR frictions below come from
+        # spec.friction_combine (see AntSceneSpec).  np.asarray BEFORE
+        # indexing: a jnp index op would be staged out under jit and the
+        # float() would see a tracer
+        import numpy as _np
+        box_mu_mat = float(_np.asarray(spec.box_sys.point_friction)[0])
 
     def ant_substep(qpos, qvel, tau_a, dr_row, box_qpos, box_qvel):
         """Full substep for ONE ant: contacts + limits + dynamics + integrate."""
@@ -90,13 +105,16 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
         fk = engine.fwd_kinematics(s, qpos, qvel)
         p_w, v_w, body = engine.points_world(s, fk)
         pi = engine.point_inertia(s, fk, p_w)
-        mu_plane = s.point_friction * spec.plane_friction
+        mu_plane = engine.combine_mu(s.point_friction, spec.plane_friction,
+                                     spec.friction_combine)
         f_pts = engine.contact_plane(p_w, v_w, s.point_radius, mu_plane, cp,
                                      pi=pi, h=h)
         box_wrench = jnp.zeros(6)
         if has_box:
+            mu_box = engine.combine_mu(s.point_friction, box_mu_mat,
+                                       spec.friction_combine)
             f_box, box_wrench = engine.contact_box(
-                p_w, v_w, s.point_radius, s.point_friction * 0.0,  # frictionless box
+                p_w, v_w, s.point_radius, mu_box,
                 box_qpos[0:3], box_qpos[3:7], box_qvel,
                 spec.box_half_extents, cp, pi=pi, h=h, box_inv=box_inv_static)
             f_pts = f_pts + f_box
@@ -126,8 +144,10 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
             p_b, v_b, body_b = engine.points_world(bsys, fk_b)
             pi_b = engine.point_inertia(bsys, fk_b, p_b)
             f_b = engine.contact_plane(p_b, v_b, bsys.point_radius,
-                                       bsys.point_friction * spec.plane_friction, cp,
-                                       pi=pi_b, h=h)
+                                       engine.combine_mu(bsys.point_friction,
+                                                         spec.plane_friction,
+                                                         spec.friction_combine),
+                                       cp, pi=pi_b, h=h)
             f_ext_b = engine.accumulate_body_forces(bsys, p_b, f_b, fk_b.base)
             # ant contact wrenches were taken about the box origin == fk_b.base
             f_ext_b = [f_ext_b[0] + jnp.sum(box_wrench, axis=0)]

@@ -63,11 +63,14 @@ class MultiAntCircleEnv:
         sim_cfg = cfg.get("sim", {})
         model = mjcf.parse_mjcf(mjcf.asset_path("ant.xml"))
         self.model = model
+        plane_cfg = env_cfg.get("plane", {}) or {}
         self.spec = AntSceneSpec(
             ant_sys=model.system, box_sys=None, box_half_extents=None,
             num_ants=2, dt=sim_cfg.get("dt", 0.0166),
             substeps=sim_cfg.get("substeps", 3),
-            power_scale=self.power_scale)
+            power_scale=self.power_scale,
+            plane_friction=float(plane_cfg.get("staticFriction", 1.0)),
+            friction_combine=str(sim_cfg.get("friction_combine", "multiply")))
         self.init_hinge = jnp.asarray(model.init_hinge)
         self.targets = jnp.zeros(3)
         self.ant_start = jnp.array([[3.0, 0.0, 1.0], [-3.0, 0.0, 1.0]])

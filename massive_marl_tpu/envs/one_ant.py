@@ -58,6 +58,9 @@ class OneAntEnv:
         sim_cfg = cfg.get("sim", {})
         dt = sim_cfg.get("dt", 0.0166)
         substeps = sim_cfg.get("substeps", 3)
+        plane_cfg = env_cfg.get("plane", {}) or {}
+        plane_friction = float(plane_cfg.get("staticFriction", 1.0))
+        friction_combine = str(sim_cfg.get("friction_combine", "multiply"))
         # fused Pallas physics (ops/fused_substep.py): "auto" = on for TPU.
         # DR composes with it (randomized params ride as a kernel operand).
         fused = sim_cfg.get("fused_kernel", "auto")
@@ -87,6 +90,8 @@ class OneAntEnv:
             dt=dt,
             substeps=substeps,
             power_scale=self.power_scale,
+            plane_friction=plane_friction,
+            friction_combine=friction_combine,
             dr_spec=dr_spec,
         )
         self.init_hinge = jnp.asarray(model.init_hinge)

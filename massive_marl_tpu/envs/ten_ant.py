@@ -66,6 +66,12 @@ class TenAntEnv:
         sim_cfg = cfg.get("sim", {})
         dt = sim_cfg.get("dt", 0.0166)
         substeps = sim_cfg.get("substeps", 3)
+        # ground-plane material friction (reference _create_ground_plane,
+        # base_task.py:233-238; TenAnt.yaml plane.staticFriction) and the
+        # pairwise combine rule (AntSceneSpec.friction_combine)
+        plane_cfg = env_cfg.get("plane", {}) or {}
+        plane_friction = float(plane_cfg.get("staticFriction", 1.0))
+        friction_combine = str(sim_cfg.get("friction_combine", "multiply"))
         # fused Pallas physics substep (ops/fused_substep.py).  DR composes
         # with it: the randomized per-ant parameters travel as a batched
         # kernel operand (no per-env constant baking).
@@ -99,6 +105,8 @@ class TenAntEnv:
             dt=dt,
             substeps=substeps,
             power_scale=self.power_scale,
+            plane_friction=plane_friction,
+            friction_combine=friction_combine,
             dr_spec=dr_spec,
         )
         self.init_hinge = jnp.asarray(model.init_hinge)

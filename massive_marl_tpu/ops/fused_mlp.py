@@ -584,11 +584,12 @@ def mlp_base_stacked_linearize(params: dict, x: jnp.ndarray,
     return h, saved
 
 
-def mlp_base_stacked_tangent(params: dict, dparams: dict, saved,
+def mlp_base_stacked_tangent(dparams: dict, saved,
                              layer_n: int = 2) -> jnp.ndarray:
     """Parameter-directional tangent dh from a saved linearization
     (`mlp_base_stacked_linearize`).  Plain XLA; no fused-forward re-run.
-    The obs tangent is zero (FVPs differentiate w.r.t. parameters only)."""
+    The obs tangent is zero (FVPs differentiate w.r.t. parameters only);
+    every primal-side operand the tangent needs lives in `saved`."""
     dh = None
     for li in range(1 + layer_n):
         s = saved[li]
@@ -634,7 +635,7 @@ def mlp_base_stacked_jvp(params: dict, dparams: dict, x: jnp.ndarray,
     h, saved = mlp_base_stacked_linearize(params, x, layer_n=layer_n,
                                           prenormed=prenormed,
                                           interpret=interpret)
-    dh = mlp_base_stacked_tangent(params, dparams, saved, layer_n=layer_n)
+    dh = mlp_base_stacked_tangent(dparams, saved, layer_n=layer_n)
     return h, dh
 
 

@@ -113,6 +113,7 @@ def _dr_pad_values(c: sp.AntConsts):
 
 def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
                     cp: engine.ContactParams, plane_friction: float,
+                    box_friction: float, friction_combine: str,
                     limit_k, limit_damp, dr_slices, *refs):
     if dr_slices is not None:
         aq_ref, av_ref, tau_ref, bq_ref, bv_ref, dr_ref, naq_ref, nav_ref, wr_ref, sens_ref = refs
@@ -133,6 +134,7 @@ def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
         c, qpos, qvel, tau, bq, bv, box_he, gravity, h,
         cp.stiffness, cp.damping, cp.friction_vel,
         plane_friction=plane_friction,
+        box_friction=box_friction, friction_combine=friction_combine,
         limit_k=limit_k, limit_damp=limit_damp,
         beta=cp.beta, max_depen_vel=cp.max_depen_vel,
         acc_units=bool(cp.acc_units), hc_vel=float(cp.hc_vel),
@@ -157,7 +159,9 @@ def build_substep(c: sp.AntConsts, box_he: Optional[Tuple[float, float, float]],
                   rows: int, rblk: int = 16, interpret: bool = False,
                   with_dr: bool = False,
                   limit_k: Optional[float] = None,
-                  limit_damp: Optional[float] = None):
+                  limit_damp: Optional[float] = None,
+                  box_friction: float = 0.0,
+                  friction_combine: str = "multiply"):
     """Returns f(aq3, av3, tau3, bq3, bv3[, dr3]) -> (naq3, nav3, wrench3, sens3).
 
     All operands are [n_fields, rows, 128] f32; wrench3 is [6, rows, 128]
@@ -179,6 +183,7 @@ def build_substep(c: sp.AntConsts, box_he: Optional[Tuple[float, float, float]],
 
     kernel = functools.partial(_substep_kernel, c, box_he, box_inv,
                                gravity, h, cp, plane_friction,
+                               box_friction, friction_combine,
                                limit_k, limit_damp, dr_slices)
     call = pl.pallas_call(
         kernel,
@@ -238,10 +243,14 @@ def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 16,
         box_inv = None
         box_he = None
 
+    box_mu_mat = (float(np.asarray(spec.box_sys.point_friction)[0])
+                  if has_box else 0.0)
     step_k = build_substep(consts, box_he, box_inv, gravity, h, cp,
                            float(spec.plane_friction), rows, rblk, interpret,
                            with_dr=use_dr,
-                           limit_k=spec.limit_k, limit_damp=spec.limit_damp)
+                           limit_k=spec.limit_k, limit_damp=spec.limit_damp,
+                           box_friction=box_mu_mat,
+                           friction_combine=spec.friction_combine)
 
     tau_act = (actions * sys.gear * spec.power_scale).astype(jnp.float32)
 
@@ -272,8 +281,10 @@ def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 16,
         p_b, v_b, _ = engine.points_world(bsys, fk_b)
         pi_b = engine.point_inertia(bsys, fk_b, p_b)
         f_b = engine.contact_plane(p_b, v_b, bsys.point_radius,
-                                   bsys.point_friction * spec.plane_friction, cp,
-                                   pi=pi_b, h=h)
+                                   engine.combine_mu(bsys.point_friction,
+                                                     spec.plane_friction,
+                                                     spec.friction_combine),
+                                   cp, pi=pi_b, h=h)
         f_ext_b = engine.accumulate_body_forces(bsys, p_b, f_b, fk_b.base)
         f_ext_b = [f_ext_b[0] + wrench_sum]
         bacc = engine.forward_dynamics(bsys, fk_b, bv1, jnp.zeros(0), f_ext_b,

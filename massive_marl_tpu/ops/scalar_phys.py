@@ -26,6 +26,20 @@ import numpy as np
 # component-tuple algebra: v3 = (x,y,z), q4 = (x,y,z,w), m33 = 3x3 nested
 # ---------------------------------------------------------------------------
 
+def _combine_mu_f(a: float, b: float, mode: str) -> float:
+    """Python-float twin of engine.combine_mu (pair frictions are baked
+    constants in the scalar kernel)."""
+    if mode == "multiply":
+        return a * b
+    if mode == "average":
+        return 0.5 * (a + b)
+    if mode == "max":
+        return max(a, b)
+    if mode == "min":
+        return min(a, b)
+    raise ValueError(f"unknown friction_combine mode: {mode!r}")
+
+
 def v3_add(a, b):
     return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
 
@@ -208,6 +222,8 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
             box_he: tuple | None, gravity: tuple, h: float,
             stiffness: float, damping_c: float, friction_vel: float,
             plane_friction: float = 1.0,
+            box_friction: float = 0.0,
+            friction_combine: str = "multiply",
             limit_k: float | None = None, limit_damp: float | None = None,
             max_ang_vel: float = 64.0, max_lin_vel: float = 200.0,
             max_dof_vel: float = 64.0,
@@ -327,9 +343,12 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
                 rxd = v3_cross(_r, d)
                 return _im + v3_dot(rxd, m33_mv(_I, rxd))
 
-        # plane z=0
+        # plane z=0.  Pair frictions are combined at BAKE time (python
+        # floats) under the scene's friction_combine rule - the twin of
+        # engine.combine_mu
         depth = radius - p_w[2]
-        mu = c.point_friction[p_i] * plane_friction
+        mu = _combine_mu_f(c.point_friction[p_i], plane_friction,
+                           friction_combine)
         f_pt = _contact_force(depth, (zero, zero, one), v_w, mu,
                               stiffness, damping_c, friction_vel,
                               w_fn=w_fn, h=h if clamp else None,
@@ -373,8 +392,13 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
                         return _wf(d) + bim + v3_dot(rxd, m33_mv(bIinvw, rxd))
                 else:
                     w_fn_box = w_fn
-            # frictionless box (ten_ant.py:548-552)
-            f_bx = _contact_force(depth_b, n_w, v_rel, 0.0,
+            # box pair friction: combine(ant material, box material) - the
+            # box material is 0 for the TenAnt push-box (ten_ant.py:548-552),
+            # so 'multiply' gives a frictionless pair and 'average' (PhysX's
+            # default combine mode) gives mu_ant/2
+            mu_box = _combine_mu_f(c.point_friction[p_i], box_friction,
+                                   friction_combine)
+            f_bx = _contact_force(depth_b, n_w, v_rel, mu_box,
                                   stiffness, damping_c, friction_vel,
                                   w_fn=w_fn_box, h=h if clamp else None,
                                   beta=beta if clamp else 0.2, mdv=max_depen_vel,

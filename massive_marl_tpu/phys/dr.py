@@ -43,7 +43,10 @@ class DrSample:
     """One articulation's randomized physical parameters."""
     mass: jnp.ndarray      # [nb]
     damping: jnp.ndarray   # [nj]
-    armature: jnp.ndarray  # [nj]  (dof "stiffness" slot in the yaml spec)
+    armature: jnp.ndarray  # [nj]  (dof "stiffness" spec entries reach this
+    #                        only with the opt-in `maps_to: armature` - see
+    #                        sample_dr; the default is the reference-faithful
+    #                        no-op of drive stiffness under effort control)
     jnt_lo: jnp.ndarray    # [nj]
     jnt_hi: jnp.ndarray    # [nj]
 
@@ -127,7 +130,14 @@ def sample_dr(sys: System, key: jnp.ndarray, spec: Dict[str, Any],
             key, k = jax.random.split(key)
             f = _sample(k, dof["damping"], out.damping.shape, frame)
             out = out.replace(damping=_apply(dof["damping"], sys.damping, f))
-        if "stiffness" in dof:
+        if "stiffness" in dof and dof["stiffness"].get("maps_to") == "armature":
+            # OPT-IN armature lever.  The reference's `dof_properties.stiffness`
+            # is PhysX DRIVE stiffness, which is inert under the tasks' pure
+            # effort control (set_dof_actuation_force_tensor, ten_ant.py:891),
+            # so randomizing it there is a no-op.  The default here is the
+            # reference-faithful no-op; `maps_to: armature` turns the spec
+            # entry into a real dynamics lever (armature enters the mass
+            # matrix, engine.py forward_dynamics) for users who want it.
             key, k = jax.random.split(key)
             f = _sample(k, dof["stiffness"], out.armature.shape, frame)
             out = out.replace(armature=_apply(dof["stiffness"], sys.armature, f))

@@ -536,6 +536,25 @@ def _contact_force(depth, normal, v_rel, friction, cp: ContactParams,
     return fn[..., None] * normal + ft
 
 
+def combine_mu(mu_a, mu_b, mode: str = "multiply"):
+    """Pairwise contact friction from the two contacting materials.
+
+    'average' is PhysX's default PxCombineMode (eAVERAGE) - what the
+    reference's IsaacGym sim actually uses, since it never sets a combine
+    mode; 'max' is MuJoCo's rule (used by the cross-validation suites);
+    'multiply' is this repo's historical rule.  Works on scalars or
+    per-point arrays."""
+    if mode == "multiply":
+        return mu_a * mu_b
+    if mode == "average":
+        return 0.5 * (mu_a + mu_b)
+    if mode == "max":
+        return jnp.maximum(mu_a, mu_b)
+    if mode == "min":
+        return jnp.minimum(mu_a, mu_b)
+    raise ValueError(f"unknown friction_combine mode: {mode!r}")
+
+
 def contact_plane(p_w, v_w, radius, friction, cp: ContactParams,
                   pi: PointInertia | None = None, h=None):
     """Points vs ground plane z=0 (reference `_create_ground_plane`,

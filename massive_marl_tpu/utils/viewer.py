@@ -49,12 +49,20 @@ def render_topdown(ant_xy, box_xy=None, goals=None, out: str = "episode.png",
     return out
 
 
+def _env_has_box(env) -> bool:
+    """Whether the scene really contains a push-box.  AntSceneState carries a
+    zeros box_qpos placeholder even for box-less scenes (MultiAntCircle), so
+    presence must be read from the scene spec, not the state."""
+    return getattr(getattr(env, "spec", None), "box_sys", None) is not None
+
+
 def record_episode(env, policy_fn, n_steps: int = 200, seed: int = 0):
     """Roll one episode and return (ant_xy [T,A,2], box_xy [T,2] | None)."""
     import jax
     import jax.numpy as jnp
 
     state = env.reset(jax.random.PRNGKey(seed))
+    has_box = _env_has_box(env)
 
     def step(carry, _):
         st = carry
@@ -62,13 +70,12 @@ def record_episode(env, policy_fn, n_steps: int = 200, seed: int = 0):
         st = env.step(st, a)
         ant = st.pipeline.ant_qpos[:, 0:2] if hasattr(st.pipeline, "ant_qpos") \
             else st.pipeline.qpos[:, 0:2]
-        box = st.pipeline.box_qpos[0:2] if hasattr(st.pipeline, "box_qpos") \
-            else jnp.zeros(2)
+        box = st.pipeline.box_qpos[0:2] if has_box else jnp.zeros(2)
         return st, (ant, box)
 
     _, (ant_xy, box_xy) = jax.jit(
         lambda s: jax.lax.scan(step, s, None, length=n_steps))(state)
-    return np.asarray(ant_xy), np.asarray(box_xy)
+    return np.asarray(ant_xy), (np.asarray(box_xy) if has_box else None)
 
 
 def record_episode_3d(env, policy_fn, n_steps: int = 200, seed: int = 0):
@@ -80,6 +87,7 @@ def record_episode_3d(env, policy_fn, n_steps: int = 200, seed: int = 0):
     import jax.numpy as jnp
 
     state = env.reset(jax.random.PRNGKey(seed))
+    has_box = _env_has_box(env)
 
     def step(carry, _):
         st = carry
@@ -87,13 +95,12 @@ def record_episode_3d(env, policy_fn, n_steps: int = 200, seed: int = 0):
         st = env.step(st, a)
         ant = st.pipeline.ant_qpos[:, 0:3] if hasattr(st.pipeline, "ant_qpos") \
             else st.pipeline.qpos[:, 0:3]
-        box = st.pipeline.box_qpos[0:3] if hasattr(st.pipeline, "box_qpos") \
-            else jnp.zeros(3)
+        box = st.pipeline.box_qpos[0:3] if has_box else jnp.zeros(3)
         return st, (ant, box)
 
     _, (ant_xyz, box_xyz) = jax.jit(
         lambda s: jax.lax.scan(step, s, None, length=n_steps))(state)
-    return np.asarray(ant_xyz), np.asarray(box_xyz)
+    return np.asarray(ant_xyz), (np.asarray(box_xyz) if has_box else None)
 
 
 _VIEWER_HTML = """<!DOCTYPE html>
@@ -210,9 +217,11 @@ def export_interactive(ant_xyz, box_xyz=None, goals=None, borderline=None,
         else np.round(np.asarray(goals, dtype=np.float32), 3).tolist(),
         "borderline": None if borderline is None else float(borderline),
     }
-    html = _VIEWER_HTML.replace("{data_json}", json.dumps(payload))
-    # the remaining {{ }} are literal JS braces from the template
-    html = html.replace("{{", "{").replace("}}", "}")
+    # un-escape the template's literal JS braces FIRST, then substitute the
+    # payload - the other order would corrupt any payload that itself
+    # contains a doubled-brace byte sequence
+    html = _VIEWER_HTML.replace("{{", "{").replace("}}", "}")
+    html = html.replace("{data_json}", json.dumps(payload))
     with open(out, "w") as f:
         f.write(html)
     return out

@@ -92,7 +92,8 @@ def test_tiny_scalar_matches_engine_with_dr(ant_model):
                                                "operation": "scaling"}},
             "dof_properties": {
                 "damping": {"range": [0.5, 1.5], "operation": "scaling"},
-                "stiffness": {"range": [0.8, 1.2], "operation": "scaling"},
+                "stiffness": {"range": [0.8, 1.2], "operation": "scaling",
+                              "maps_to": "armature"},
                 "lower": {"range": [-0.05, 0.05], "operation": "additive",
                           "distribution": "gaussian"},
                 "upper": {"range": [-0.05, 0.05], "operation": "additive",
