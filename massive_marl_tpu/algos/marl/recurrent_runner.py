@@ -229,13 +229,19 @@ class RecurrentMarlRunner(MarlRunner):
                 return cfg.value_loss_coef * l.mean(), l.mean()
 
             (al, aloss), ag = jax.value_and_grad(actor_loss, has_aux=True)(ap)
-            au, ao = actor_tx.update(ag, ao, ap)
-            ap = optax.apply_updates(ap, au)
+            if hasattr(actor_tx, "update_apply"):   # fused clip+Adam+apply
+                ap, ao = actor_tx.update_apply(ag, ao, ap)
+            else:
+                au, ao = actor_tx.update(ag, ao, ap)
+                ap = optax.apply_updates(ap, au)
             vn, rn_c, rn_o = nets.norm_targets(vn, data["returns"], norm_mode)
             (cl, vloss), cg = jax.value_and_grad(critic_loss, has_aux=True)(
                 cp, rn_c, rn_o)
-            cu, co = critic_tx.update(cg, co, cp)
-            cp = optax.apply_updates(cp, cu)
+            if hasattr(critic_tx, "update_apply"):
+                cp, co = critic_tx.update_apply(cg, co, cp)
+            else:
+                cu, co = critic_tx.update(cg, co, cp)
+                cp = optax.apply_updates(cp, cu)
             return (ap, ao, cp, co, vn), (aloss, vloss)
 
         def agent_update(key, ap, ao, cp, co, vn, data):

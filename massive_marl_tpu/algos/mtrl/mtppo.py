@@ -57,7 +57,8 @@ class MTPPOState:
 class MTPPO:
     def __init__(self, envs: Dict[str, Any], num_envs: int,
                  cfg: MTPPOConfig | None = None, seed: int = 0,
-                 log_dir: str | None = None, print_log: bool = True):
+                 log_dir: str | None = None, print_log: bool = True,
+                 mesh=None):
         self.envs = envs
         self.task_names = sorted(envs.keys())
         self.K = len(self.task_names)
@@ -66,6 +67,11 @@ class MTPPO:
         self.seed = seed
         self.log_dir = log_dir
         self.print_log = print_log
+        # multi-device: EVERY task's env batch shards over 'data' (per-task
+        # env step under shard_map); the shared policy replicates and the
+        # multi-task update's batch reductions become global means with
+        # SPMD-inserted psums (tests/test_distributed.py mtppo case)
+        self.mesh = mesh
 
         self.obs_dims = {t: envs[t].num_obs for t in self.task_names}
         self.act_dims = {t: envs[t].num_actions * envs[t].num_agents for t in self.task_names}
@@ -101,6 +107,11 @@ class MTPPO:
             key, ke = jax.random.split(key)
             env_states[t] = jax.jit(jax.vmap(self.envs[t].reset))(
                 jax.random.split(ke, self.num_envs))
+        if self.mesh is not None:
+            from massive_marl_tpu.parallel import mesh as pm
+            env_states = jax.device_put(
+                env_states, jax.tree_util.tree_map(
+                    lambda _: pm.data_sharded(self.mesh), env_states))
         return MTPPOState(params=params, opt_state=self.tx.init(params),
                           lr=jnp.asarray(self.cfg.lr), env_states=env_states,
                           key=key, iteration=jnp.asarray(0, jnp.int32))
@@ -110,6 +121,10 @@ class MTPPO:
         env = self.envs[task]
         act_dim = self.act_dims[task]
         E, T = self.num_envs, cfg.nsteps
+        env_step = batched_step(env)
+        if self.mesh is not None:
+            from massive_marl_tpu.parallel.mesh import shard_env_step
+            env_step = shard_env_step(env_step, self.mesh)
 
         def step(carry, _):
             env_state, key, params = carry
@@ -119,7 +134,7 @@ class MTPPO:
             actions = nets.gaussian_sample(k, mean, log_std)
             logp = nets.gaussian_log_prob(mean, log_std, actions)
             a_env = jnp.clip(actions[:, :act_dim], -cfg.clip_actions, cfg.clip_actions)
-            ns = batched_step(env)(env_state, a_env)
+            ns = env_step(env_state, a_env)
             return (ns, key, params), dict(obs=obs, actions=actions, logp=logp,
                                            value=value, reward=ns.reward,
                                            done=ns.done.astype(jnp.float32))

@@ -46,7 +46,8 @@ class MTSACState:
 class MTSAC:
     def __init__(self, envs: Dict[str, Any], num_envs: int,
                  cfg: MTSACConfig | None = None, seed: int = 0,
-                 log_dir: str | None = None, print_log: bool = True):
+                 log_dir: str | None = None, print_log: bool = True,
+                 mesh=None):
         self.envs = envs
         self.task_names = sorted(envs.keys())
         self.K = len(self.task_names)
@@ -55,6 +56,10 @@ class MTSAC:
         self.seed = seed
         self.log_dir = log_dir
         self.print_log = print_log
+        # multi-device: per-task env batches + the shared replay ring's env
+        # axis ([R, E, ...], axis 1) shard over 'data'; params replicate and
+        # the Q/pi grad reductions psum (same layout as OffPolicy)
+        self.mesh = mesh
         self.max_obs = max(e.num_obs for e in envs.values())
         self.obs_dim = self.max_obs + self.K
         self.act_dims = {t: envs[t].num_actions * envs[t].num_agents
@@ -97,18 +102,31 @@ class MTSAC:
             env_states[t] = jax.jit(jax.vmap(self.envs[t].reset))(
                 jax.random.split(ke, E))
         q_params = {k: params[k] for k in ("q1", "q2")}
-        return MTSACState(params=params,
-                          target_params=jax.tree_util.tree_map(lambda x: x, params),
-                          opt_pi=self.tx.init(params["pi"]),
-                          opt_q=self.tx.init(q_params),
-                          replay=replay, env_states=env_states, key=key,
-                          iteration=jnp.asarray(0, jnp.int32))
+        ts = MTSACState(params=params,
+                        target_params=jax.tree_util.tree_map(lambda x: x, params),
+                        opt_pi=self.tx.init(params["pi"]),
+                        opt_q=self.tx.init(q_params),
+                        replay=replay, env_states=env_states, key=key,
+                        iteration=jnp.asarray(0, jnp.int32))
+        if self.mesh is not None:
+            from massive_marl_tpu.parallel import mesh as pm
+            sh = pm.replicate_tree(ts, self.mesh)
+            sh = sh.replace(
+                env_states=jax.tree_util.tree_map(
+                    lambda _: pm.data_sharded(self.mesh), ts.env_states),
+                replay=pm.shard_axis_tree(ts.replay, self.mesh, axis=1))
+            ts = jax.device_put(ts, sh)
+        return ts
 
     def _make_collect(self, task, idx):
         c = self.cfg
         env = self.envs[task]
         E = self.num_envs
         act_dim = self.act_dims[task]
+        env_step = batched_step(env)
+        if self.mesh is not None:
+            from massive_marl_tpu.parallel.mesh import shard_env_step
+            env_step = shard_env_step(env_step, self.mesh)
 
         def collect(env_state, replay, params, key):
             def step(carry, _):
@@ -117,7 +135,7 @@ class MTSAC:
                 obs = self._aug(jnp.clip(st.obs, -c.clip_obs, c.clip_obs), idx)
                 mu, log_std = self.pi.apply(params["pi"], obs)
                 a, _ = squashed_sample(k, mu, log_std)
-                ns = batched_step(env)(st, jnp.clip(a[:, :act_dim], -1, 1))
+                ns = env_step(st, jnp.clip(a[:, :act_dim], -1, 1))
                 nobs = self._aug(jnp.clip(ns.obs, -c.clip_obs, c.clip_obs), idx)
                 rep = dict(rep,
                            obs=rep["obs"].at[rep["ptr"]].set(obs),

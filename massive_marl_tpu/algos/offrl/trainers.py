@@ -96,10 +96,17 @@ class OfflineState:
 class OfflineTrainer:
     def __init__(self, task: str, datatype: str, cfg: OfflineConfig,
                  seed: int = 0, log_dir: str | None = None, print_log: bool = True,
-                 data: dict | None = None):
+                 data: dict | None = None, mesh=None):
         self.cfg = cfg
         self.log_dir = log_dir
         self.print_log = print_log
+        # multi-device: the dataset REPLICATES (it is small - ~50-200 MB -
+        # and replication keeps the random-index gather local to every
+        # device); each sampled minibatch is then sharding-constrained over
+        # 'data', so the per-step grads are computed data-parallel and the
+        # SPMD partitioner inserts the psums.  eval_online's env rollout
+        # shards its env batch like the on-policy trainers.
+        self.mesh = mesh
         if data is None:
             path = datasets.dataset_dir(cfg.dataset_root, task, datatype)
             if not os.path.isdir(path):
@@ -167,7 +174,13 @@ class OfflineTrainer:
     # ------------------------------------------------------------- train step
     def _sample(self, key):
         idx = jax.random.randint(key, (self.cfg.batch_size,), 0, self.N)
-        return {k: v[idx] for k, v in self.data.items()}
+        batch = {k: v[idx] for k, v in self.data.items()}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P("data"))
+            batch = jax.lax.with_sharding_constraint(
+                batch, {k: sh for k in batch})
+        return batch
 
     def _make_train_step(self):
         c = self.cfg
@@ -401,15 +414,23 @@ class OfflineTrainer:
             a = a.reshape(-1, reps, self.act_dim)
             return a[jnp.arange(o.shape[0]), q.argmax(axis=1)]
 
+        env_step = batched_step(env)
+        if self.mesh is not None:
+            from massive_marl_tpu.parallel.mesh import shard_env_step
+            env_step = shard_env_step(env_step, self.mesh)
+
         def step(carry, _):
             st, key = carry
             key, k = jax.random.split(key)
             obs = jnp.clip(st.obs, -5.0, 5.0)  # VecTask clip_obs, same as collect
-            ns = batched_step(env)(st, act(obs, k))
+            ns = env_step(st, act(obs, k))
             return (ns, key), ns.reward
 
         key = jax.random.PRNGKey(self.seed + 1)
         es = jax.jit(jax.vmap(env.reset))(jax.random.split(key, num_envs))
+        if self.mesh is not None:
+            from massive_marl_tpu.parallel import mesh as pm
+            es = jax.device_put(es, pm.shard_leading_axis(es, self.mesh))
         (_, _), rews = jax.jit(
             lambda s, k: jax.lax.scan(step, (s, k), None, length=n_steps))(es, key)
         return float(rews.mean())

@@ -223,10 +223,14 @@ class PPO:
             params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
             return (params, opt_state, lr), (aux[0], aux[1])
 
-        def train_iter(ts: PPOTrainState):
-            # ---- rollout ----
+        def rollout_phase(ts: PPOTrainState):
+            """(env_state, key, traj): the collection half of the iteration
+            (exposed for the bench's rollout/update phase split)."""
             (env_state, key, _), traj = jax.lax.scan(
                 rollout_step, (ts.env_state, ts.key, ts.params), None, length=T)
+            return env_state, key, traj
+
+        def update_phase(ts: PPOTrainState, env_state, key, traj):
             last_obs = jnp.clip(env_state.obs, -cfg.clip_obs, cfg.clip_obs)
             _, last_value, _ = policy_apply(ts.params, last_obs)
             adv, returns = gae(traj, last_value)
@@ -264,6 +268,12 @@ class PPO:
                                  env_state=env_state, key=key,
                                  iteration=ts.iteration + 1), metrics
 
+        def train_iter(ts: PPOTrainState):
+            env_state, key, traj = rollout_phase(ts)
+            return update_phase(ts, env_state, key, traj)
+
+        train_iter.rollout_phase = rollout_phase
+        train_iter.update_phase = update_phase
         return train_iter
 
     # ---------------------------------------------------------------- driving

@@ -105,13 +105,20 @@ class _Critic(nets.nn.Module):
 
 class TRPO:
     def __init__(self, env, num_envs: int, cfg: TRPOConfig | None = None,
-                 seed: int = 0, log_dir: str | None = None, print_log: bool = True):
+                 seed: int = 0, log_dir: str | None = None, print_log: bool = True,
+                 mesh=None):
         self.env = env
         self.num_envs = num_envs
         self.cfg = cfg or TRPOConfig()
         self.seed = seed
         self.log_dir = log_dir
         self.print_log = print_log
+        # multi-device: env batch sharded over 'data' (env step under
+        # shard_map - the fused pallas kernel cannot be auto-partitioned);
+        # params/opt replicated, the CG/FVP/line-search reductions (jnp.mean
+        # over the T*E batch) are global means for which the SPMD partitioner
+        # inserts the psums (tests/test_distributed.py::test_trpo_psum_equivalence)
+        self.mesh = mesh
         self.act_dim = env.num_actions * env.num_agents
         self.obs_dim = env.num_obs
         c = self.cfg
@@ -127,15 +134,23 @@ class TRPO:
         ap = self.actor.init(ka, jnp.zeros((1, self.obs_dim)))
         cp = self.critic.init(kc, jnp.zeros((1, self.obs_dim)))
         env_state = jax.jit(jax.vmap(self.env.reset))(jax.random.split(ke, self.num_envs))
-        return TRPOTrainState(actor_params=ap, critic_params=cp,
-                              vf_opt=self.vf_tx.init(cp), env_state=env_state,
-                              key=key, iteration=jnp.asarray(0, jnp.int32))
+        ts = TRPOTrainState(actor_params=ap, critic_params=cp,
+                            vf_opt=self.vf_tx.init(cp), env_state=env_state,
+                            key=key, iteration=jnp.asarray(0, jnp.int32))
+        if self.mesh is not None:
+            from massive_marl_tpu.parallel import mesh as pm
+            ts = pm.apply_sharding(ts, self.mesh)
+        return ts
 
     def _make_train_iter(self):
         cfg = self.cfg
         env = self.env
         T, E = cfg.nsteps, self.num_envs
         actor, critic = self.actor, self.critic
+        env_step = batched_step(env)
+        if self.mesh is not None:
+            from massive_marl_tpu.parallel.mesh import shard_env_step
+            env_step = shard_env_step(env_step, self.mesh)
 
         flat_util = ravel_pytree
 
@@ -147,7 +162,7 @@ class TRPO:
             actions = nets.gaussian_sample(k_act, mean, log_std)
             logp = nets.gaussian_log_prob(mean, log_std, actions)
             value = critic.apply(cp, obs)
-            ns = batched_step(env)(env_state, jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions))
+            ns = env_step(env_state, jnp.clip(actions, -cfg.clip_actions, cfg.clip_actions))
             return (ns, key, ap, cp), dict(obs=obs, actions=actions, logp=logp,
                                            value=value, mean=mean,
                                            reward=ns.reward,

@@ -218,6 +218,127 @@ def scenario_push(substeps=3):
                 box_dxy=(dxy_o, dxy_m), box_z=(box_o[-1, 2], box_m[-1, 2]))
 
 
+def _dup_ant_xml(xml: str, suffix: str, pos: str) -> str:
+    """The torso body subtree with every name suffixed and a new spawn pos
+    (MuJoCo needs unique joint/geom names per ant)."""
+    import re
+    start = xml.index('<body name="torso"')
+    depth, i = 0, start
+    while True:
+        m = re.compile(r"<body\b|</body>").search(xml, i)
+        depth += 1 if xml[m.start()] == "<" and xml[m.start():m.start()+5] == "<body" else -1
+        i = m.end()
+        if depth == 0:
+            break
+    block = xml[start:i]
+    block = re.sub(r'name="([^"]+)"', rf'name="\1{suffix}"', block)
+    block = block.replace('pos="0 0 0.75"', f'pos="{pos}"', 1)
+    return block
+
+
+def mj_multi_ant_box(ant_poses, box_xml: str):
+    """MuJoCo model: N copies of the shipped ant + ground plane + box."""
+    xml = open(mjcf.asset_path("ant.xml")).read()
+    plane = '<geom name="floor" type="plane" size="60 60 1" friction="1.5 0.1 0.1"/>'
+    bodies = "".join(_dup_ant_xml(xml, f"_{k}", p)
+                     for k, p in enumerate(ant_poses))
+    start = xml.index('<body name="torso"')
+    import re
+    depth, i = 0, start
+    while True:
+        m = re.compile(r"<body\b|</body>").search(xml, i)
+        depth += 1 if xml[m.start():m.start()+5] == "<body" else -1
+        i = m.end()
+        if depth == 0:
+            break
+    xml = xml[:start] + plane + box_xml + bodies + xml[i:]
+    # drop the actuator block: it references the (replaced) single ant's
+    # joint names, and the multi-ant scenarios apply zero torques anyway
+    import re as _re
+    xml = _re.sub(r"<actuator>.*?</actuator>", "", xml, flags=_re.S)
+    m = mujoco.MjModel.from_xml_string(xml)
+    m.opt.timestep = H_MJ
+    m.opt.integrator = mujoco.mjtIntegrator.mjINT_EULER
+    return m
+
+
+def scenario_multi_push(substeps=3, n_ants=2, vx=-2.0, T_s=1.5):
+    """TWO ants thrown at the long box's side face (the TenAnt interaction:
+    multiple ants transferring momentum into the 28-mass box, which then
+    slides on the plane) - deterministic: ballistic flight, side impact,
+    frictionless box contacts in BOTH engines (our 'multiply' combine; the
+    MuJoCo box geom carries priority=2 friction=0, which wins the MuJoCo
+    combine).  Compares the box x(t) trajectory and final velocity.
+
+    VERDICT r3 item 5a: the r3 xval scenarios were single-ant; this is the
+    first multi-ant + box scene validated against MuJoCo."""
+    he = (0.5, 14.0, 0.5)
+    box_xml = ('<body name="pushbox" pos="0 0 0.5">'
+               '<freejoint name="boxroot"/>'
+               '<geom name="boxgeom" type="box" size="0.5 14.0 0.5" condim="1" '
+               'friction="0 0 0" priority="2" density="1.0"/></body>')
+    ys = np.linspace(-2.0, 2.0, n_ants)
+    x0, z0 = 1.45, 0.6
+
+    # ---- ours ----
+    from massive_marl_tpu.envs.ant_scene import AntSceneSpec, AntSceneState, scene_step
+    model = mjcf.parse_mjcf(mjcf.asset_path("ant.xml"))
+    sys_ = model.system
+    spec = AntSceneSpec(
+        ant_sys=sys_, box_sys=mjcf.make_box_system(he, density=1.0, friction=0.0),
+        box_half_extents=he, num_ants=n_ants, dt=0.0166, substeps=substeps)
+    qpos = jax.vmap(lambda y: sys_.init_qpos(jnp.array([x0, y, z0])))(jnp.asarray(ys))
+    qvel = jnp.zeros((n_ants, sys_.nv)).at[:, 0].set(vx)
+    st = AntSceneState(ant_qpos=qpos, ant_qvel=qvel,
+                       box_qpos=jnp.array([0.0, 0.0, 0.5, 0.0, 0.0, 0.0, 1.0]),
+                       box_qvel=jnp.zeros(6),
+                       sensors=jnp.zeros((n_ants, max(sys_.num_sensors, 1), 6)))
+    step = jax.jit(lambda s: scene_step(spec, s, jnp.zeros((n_ants, sys_.nj))))
+    T_ctrl = int(T_s / spec.dt)
+    box_o = []
+    for _ in range(T_ctrl):
+        st = step(st)
+        box_o.append(np.asarray(st.box_qpos[0:3]))
+    box_o = np.array(box_o)
+    vx_o = float(st.box_qvel[0])
+
+    # ---- MuJoCo ----
+    m = mj_multi_ant_box([f"{x0} {y} {z0}" for y in ys], box_xml)
+    d = mujoco.MjData(m)
+    mujoco.mj_resetData(m, d)
+    for k in range(n_ants):
+        jid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_JOINT, f"root_{k}")
+        qadr, dadr = m.jnt_qposadr[jid], m.jnt_dofadr[jid]
+        d.qpos[qadr:qadr + 3] = [x0, ys[k], z0]
+        d.qpos[qadr + 3:qadr + 7] = [1, 0, 0, 0]
+        d.qvel[dadr] = vx
+    for j in range(m.njnt):
+        if m.jnt_type[j] == mujoco.mjtJoint.mjJNT_HINGE:
+            lo, hi = m.jnt_range[j]
+            d.qpos[m.jnt_qposadr[j]] = np.clip(0.0, lo, hi)
+    badr = m.jnt_qposadr[mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_JOINT, "boxroot")]
+    bdadr = m.jnt_dofadr[mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_JOINT, "boxroot")]
+    T_mj = int(T_s / H_MJ)
+    box_m = []
+    for _ in range(T_mj):
+        mujoco.mj_step(m, d)
+        box_m.append(d.qpos[badr:badr + 3].copy())
+    box_m = np.array(box_m)
+    vx_m = float(d.qvel[bdadr])
+
+    t_o = np.arange(1, T_ctrl + 1) * spec.dt
+    t_m = np.arange(1, T_mj + 1) * H_MJ
+    x_m_i = np.interp(t_o, t_m, box_m[:, 0])
+    traj_err = np.abs(box_o[:, 0] - x_m_i).max()
+    print(f"[multi_push s={substeps}] box dx ours {box_o[-1,0]:+.4f} "
+          f"mj {box_m[-1,0]:+.4f}  final vx ours {vx_o:+.4f} mj {vx_m:+.4f}  "
+          f"max|x err| {traj_err:.4f}  box z ours {box_o[-1,2]:.4f} "
+          f"mj {box_m[-1,2]:.4f}")
+    return dict(dx=(float(box_o[-1, 0]), float(box_m[-1, 0])),
+                vx=(vx_o, vx_m), traj=float(traj_err),
+                z=(float(box_o[-1, 2]), float(box_m[-1, 2])))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("drop", "all"):
@@ -228,3 +349,5 @@ if __name__ == "__main__":
         scenario_stiction(tau_mag=1.5)
     if which in ("push", "all"):
         scenario_push()
+    if which in ("multi_push", "all"):
+        scenario_multi_push()

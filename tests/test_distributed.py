@@ -271,3 +271,134 @@ def test_recurrent_marl_psum_equivalence():
     for k in ("mean_reward", "value_loss"):
         np.testing.assert_allclose(float(m_ref[k]), float(m_sh[k]),
                                    rtol=1e-3, atol=1e-4, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Long-tail trainers on the mesh (VERDICT r3 item 4: TRPO, MTRL, MAML,
+# offline) - every trainer family now takes mesh= and must reproduce the
+# single-device math under 8-way 'data' sharding.
+# ---------------------------------------------------------------------------
+
+
+def test_trpo_psum_equivalence():
+    from massive_marl_tpu.algos.rl.trpo import TRPO, TRPOConfig
+    E = 2 * N_DEV
+    cfg = TRPOConfig(nsteps=4, cg_nsteps=4, vf_epochs=2, hidden=(32, 32))
+    ref = TRPO(ToyEnv(), num_envs=E, cfg=cfg, seed=0, print_log=False)
+    ts_ref, m_ref = ref._train_iter(ref.init_state())
+
+    mesh = meshlib.make_mesh(N_DEV)
+    sh = TRPO(ToyEnv(), num_envs=E, cfg=cfg, seed=0, print_log=False, mesh=mesh)
+    with mesh:
+        ts_sh, m_sh = sh._train_iter(sh.init_state())
+        jax.block_until_ready(ts_sh.actor_params)
+
+    # CG + line search amplify reduction-order noise through 1/sqrt and the
+    # accept/reject branch; tolerances looser than the plain-Adam trainers
+    _assert_tree_close(ts_ref.actor_params, ts_sh.actor_params, "trpo-actor",
+                       rtol=5e-3, atol=5e-4)
+    _assert_tree_close(ts_ref.critic_params, ts_sh.critic_params, "trpo-critic",
+                       rtol=5e-3, atol=5e-4)
+    for k in ("mean_reward", "value_loss"):
+        np.testing.assert_allclose(float(m_ref[k]), float(m_sh[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
+    qpos = jax.tree_util.tree_leaves(ts_sh.env_state)[0]
+    assert len(qpos.sharding.device_set) == N_DEV
+
+
+def _run_mt(cls, cfg, mesh):
+    envs = {"a": ToyEnv(), "b": ToyEnv()}
+    t = cls(envs, num_envs=2 * N_DEV, cfg=cfg, seed=0, print_log=False,
+            mesh=mesh)
+    if mesh is not None:
+        with mesh:
+            t.run(1)
+            jax.block_until_ready(t.state.params)
+    else:
+        t.run(1)
+    return t.state
+
+
+def test_mtppo_psum_equivalence():
+    from massive_marl_tpu.algos.mtrl.mtppo import MTPPO, MTPPOConfig
+    cfg = MTPPOConfig(nsteps=4, noptepochs=2, nminibatches=1, hidden=(32, 32))
+    ts_ref = _run_mt(MTPPO, cfg, None)
+    ts_sh = _run_mt(MTPPO, cfg, meshlib.make_mesh(N_DEV))
+    _assert_tree_close(ts_ref.params, ts_sh.params, "mtppo")
+
+
+def test_mttrpo_psum_equivalence():
+    from massive_marl_tpu.algos.mtrl.mttrpo import MTTRPO, MTTRPOConfig
+    cfg = MTTRPOConfig(nsteps=4, cg_nsteps=4, vf_epochs=2, hidden=(32, 32))
+    ts_ref = _run_mt(MTTRPO, cfg, None)
+    ts_sh = _run_mt(MTTRPO, cfg, meshlib.make_mesh(N_DEV))
+    _assert_tree_close(ts_ref.params, ts_sh.params, "mttrpo",
+                       rtol=5e-3, atol=5e-4)
+
+
+def test_mtsac_psum_equivalence():
+    from massive_marl_tpu.algos.mtrl.mtsac import MTSAC, MTSACConfig
+    cfg = MTSACConfig(algo="sac", nsteps=4, replay_size=16, batch_size=8,
+                      noptepochs=1, nminibatches=1, hidden_nodes=32,
+                      hidden_layer=2)
+    ts_ref = _run_mt(MTSAC, cfg, None)
+    ts_sh = _run_mt(MTSAC, cfg, meshlib.make_mesh(N_DEV))
+    _assert_tree_close(ts_ref.params, ts_sh.params, "mtsac")
+    # the shared replay ring stays sharded on its env axis
+    assert len(ts_sh.replay["obs"].sharding.device_set) == N_DEV
+
+
+def test_maml_psum_equivalence():
+    from massive_marl_tpu.algos.metarl.maml import MAMLConfig, MAMLPPO
+    cfg = MAMLConfig(support_steps=4, query_steps=4, meta_batch_size=2,
+                     adapt_steps=1, hidden=(32, 32))
+    E = 2 * N_DEV
+    ref = MAMLPPO(ToyEnv(), num_envs=E, cfg=cfg, seed=0, print_log=False)
+    ts_ref, m_ref = ref._meta_iter(ref.init_state())
+
+    mesh = meshlib.make_mesh(N_DEV)
+    sh = MAMLPPO(ToyEnv(), num_envs=E, cfg=cfg, seed=0, print_log=False,
+                 mesh=mesh)
+    with mesh:
+        ts_sh, m_sh = sh._meta_iter(sh.init_state())
+        jax.block_until_ready(ts_sh.params)
+
+    # second-order meta-grads amplify f32 reassociation noise
+    _assert_tree_close(ts_ref.params, ts_sh.params, "maml", rtol=5e-3, atol=5e-4)
+    for k in ("meta_loss", "mean_reward"):
+        np.testing.assert_allclose(float(m_ref[k]), float(m_sh[k]),
+                                   rtol=2e-3, atol=2e-4, err_msg=k)
+
+
+@pytest.mark.parametrize("algo", ["td3_bc", "iql", "bcq"])
+def test_offline_psum_equivalence(algo):
+    """Two offline grad steps on a synthetic dataset: replicated data +
+    'data'-sharded minibatch must reproduce the single-device params."""
+    from massive_marl_tpu.algos.offrl.trainers import OfflineConfig, OfflineTrainer
+    rng = np.random.RandomState(0)
+    N, O, A = 256, 6, 2
+    data = dict(states=rng.randn(N, O).astype(np.float32),
+                actions=np.tanh(rng.randn(N, A)).astype(np.float32),
+                rewards=rng.randn(N, 1).astype(np.float32),
+                dones=(rng.rand(N, 1) < 0.05).astype(np.float32),
+                next_states=rng.randn(N, O).astype(np.float32))
+    cfg = OfflineConfig(algo=algo, batch_size=32, hidden=32, layers=2)
+
+    ref = OfflineTrainer("toy", "expert", cfg, seed=0, print_log=False,
+                         data=dict(data))
+    ts_ref = ref.init_state()
+    for _ in range(2):
+        ts_ref, m_ref = ref._train_step(ts_ref)
+
+    mesh = meshlib.make_mesh(N_DEV)
+    sh = OfflineTrainer("toy", "expert", cfg, seed=0, print_log=False,
+                        data=dict(data), mesh=mesh)
+    with mesh:
+        ts_sh = sh.init_state()
+        for _ in range(2):
+            ts_sh, m_sh = sh._train_step(ts_sh)
+        jax.block_until_ready(ts_sh.params)
+
+    _assert_tree_close(ts_ref.params, ts_sh.params, algo)
+    np.testing.assert_allclose(float(m_ref["q_loss"]), float(m_sh["q_loss"]),
+                               rtol=1e-3, atol=1e-4)

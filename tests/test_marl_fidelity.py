@@ -388,3 +388,56 @@ def test_bf16_adam_mu_trains_and_halves_moment_storage():
     assert "bfloat16" in dts  # mu in bf16; nu/params stay f32
     for leaf in jax.tree_util.tree_leaves(ts.actor_params):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_fused_clip_adam_matches_optax():
+    """FusedClipAdam (one-traversal clip+Adam+apply, MarlConfig
+    optimizer='fused_adam') must be bit-compatible-ish with the optax chain
+    it replaces, including an active global-norm clip and a callable lr
+    schedule."""
+    import optax
+    from massive_marl_tpu.algos.marl.runner import FusedClipAdam
+
+    rng = np.random.RandomState(0)
+    params = {"w": jnp.asarray(rng.randn(16, 8), jnp.float32),
+              "b": jnp.asarray(rng.randn(8), jnp.float32)}
+    clip, eps = 1.0, 1e-5
+    sched = lambda step: 1e-3 * (1.0 + step.astype(jnp.float32) * 0.0 + 1.0) / 2.0
+
+    ref_tx = optax.chain(optax.clip_by_global_norm(clip),
+                         optax.adam(sched, eps=eps))
+    fused = FusedClipAdam(sched, clip=clip, eps=eps)
+
+    p_ref, o_ref = params, ref_tx.init(params)
+    p_f, o_f = params, fused.init(params)
+    for i in range(5):
+        scale = 10.0 if i % 2 == 0 else 0.01   # alternate clip active/inactive
+        g = {"w": jnp.asarray(scale * rng.randn(16, 8), jnp.float32),
+             "b": jnp.asarray(scale * rng.randn(8), jnp.float32)}
+        u, o_ref = ref_tx.update(g, o_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u)
+        p_f, o_f = fused.update_apply(g, o_f, p_f)
+        for k in params:
+            np.testing.assert_allclose(np.asarray(p_f[k]), np.asarray(p_ref[k]),
+                                       rtol=1e-6, atol=1e-7, err_msg=f"step {i} {k}")
+
+
+def test_mappo_fused_adam_optimizer_equivalence():
+    """One full MAPPO train iteration with optimizer='fused_adam' matches the
+    default optax path (same seed, same batch)."""
+    E = 8
+    mk = lambda opt: MarlRunner(
+        TeamEnv(), num_envs=E,
+        cfg=MarlConfig(algorithm_name="mappo", hidden_size=32, layer_n=1,
+                       ppo_epoch=2, optimizer=opt),
+        seed=0, print_log=False)
+    ref, fus = mk("adam"), mk("fused_adam")
+    ts_r, m_r = ref._train_iter(ref.init_state())
+    ts_f, m_f = fus._train_iter(fus.init_state())
+    flat_r = jax.tree_util.tree_leaves(ts_r.actor_params)
+    flat_f = jax.tree_util.tree_leaves(ts_f.actor_params)
+    for a, b in zip(flat_r, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(m_r["value_loss"]), float(m_f["value_loss"]),
+                               rtol=1e-4, atol=1e-6)
