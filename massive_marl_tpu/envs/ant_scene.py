@@ -2,9 +2,10 @@
 
 One env = A ant articulations and (optionally) one free push-box.  Matches the
 reference scene wiring (ten_ant.py:498-552): ants never collide with each
-other (IsaacGym collision filter 1), the box's friction is forced to 0, and
-actions are hinge torques `action * gear * power_scale`
-(pre_physics_step, ten_ant.py:886-891).
+other (IsaacGym collision filter 1), the box's MATERIAL friction is forced
+to 0 (pair frictions then follow AntSceneSpec.friction_combine - PhysX
+eAVERAGE by default, see the spec field comment), and actions are hinge
+torques `action * gear * power_scale` (pre_physics_step, ten_ant.py:886-891).
 
 The whole control step (substeps x [FK -> contacts -> CRBA solve ->
 integrate]) is a `lax.scan` body, vmapped over the env axis by the wrappers.
@@ -61,16 +62,20 @@ class AntSceneSpec(NamedTuple):
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
     contact: engine.ContactParams = engine.ContactParams()
     # Pairwise friction = combine(material_a, material_b) under
-    # `friction_combine`.  PhysX's default combine mode is eAVERAGE (the
-    # reference never overrides it, so its box[mu=0]-ground[mu=1] contact is
-    # mu~0.5, NOT frictionless); MuJoCo's rule is elementwise max;
-    # 'multiply' was this repo's rounds-1-3 rule (box frictionless against
-    # everything).  The default is chosen by the measured sensitivity study
-    # in BASELINE.md r4 (scripts/friction_sensitivity.py).
+    # `friction_combine`.  DEFAULT 'average': PhysX's default PxCombineMode
+    # is eAVERAGE and the reference never overrides it, so the sim its
+    # agents actually experienced had box-ground mu~0.5 (the 28-mass box is
+    # pinned by ground friction: measured 10-ant-shove displacement
+    # -0.014 m vs -0.47 m under 'multiply'), ant-box mu~0.75, ant-ground
+    # mu~1.25.  'multiply' was rounds 1-3's rule (box frictionless against
+    # everything); 'max' is MuJoCo's rule (the MuJoCo cross-validation
+    # suites pin their mode explicitly).  Decision + measured sensitivity
+    # (box displacement AND TenAnt+MAPPO learning under each mode):
+    # BASELINE.md r4 "Friction-combine study"; scripts/friction_sensitivity.py.
     # Ref: /root/reference/agents/tasks/ten_ant.py:548-550 (box material
     # zeroed), /root/reference/cfg/TenAnt.yaml:55-56 (plane mu=1.0).
     plane_friction: float = 1.0
-    friction_combine: str = "multiply"
+    friction_combine: str = "average"
     # domain randomization spec (actor_params.ant subtree) or None
     dr_spec: Any = None
     # joint-limit penalty override (None = engine.LIMIT_K / LIMIT_DAMP)

@@ -70,7 +70,7 @@ class MultiAntCircleEnv:
             substeps=sim_cfg.get("substeps", 3),
             power_scale=self.power_scale,
             plane_friction=float(plane_cfg.get("staticFriction", 1.0)),
-            friction_combine=str(sim_cfg.get("friction_combine", "multiply")))
+            friction_combine=str(sim_cfg.get("friction_combine", "average")))
         self.init_hinge = jnp.asarray(model.init_hinge)
         self.targets = jnp.zeros(3)
         self.ant_start = jnp.array([[3.0, 0.0, 1.0], [-3.0, 0.0, 1.0]])

@@ -60,7 +60,7 @@ class OneAntEnv:
         substeps = sim_cfg.get("substeps", 3)
         plane_cfg = env_cfg.get("plane", {}) or {}
         plane_friction = float(plane_cfg.get("staticFriction", 1.0))
-        friction_combine = str(sim_cfg.get("friction_combine", "multiply"))
+        friction_combine = str(sim_cfg.get("friction_combine", "average"))
         # fused Pallas physics (ops/fused_substep.py): "auto" = on for TPU.
         # DR composes with it (randomized params ride as a kernel operand).
         fused = sim_cfg.get("fused_kernel", "auto")

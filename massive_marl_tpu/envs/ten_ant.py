@@ -71,7 +71,7 @@ class TenAntEnv:
         # pairwise combine rule (AntSceneSpec.friction_combine)
         plane_cfg = env_cfg.get("plane", {}) or {}
         plane_friction = float(plane_cfg.get("staticFriction", 1.0))
-        friction_combine = str(sim_cfg.get("friction_combine", "multiply"))
+        friction_combine = str(sim_cfg.get("friction_combine", "average"))
         # fused Pallas physics substep (ops/fused_substep.py).  DR composes
         # with it: the randomized per-ant parameters travel as a batched
         # kernel operand (no per-env constant baking).

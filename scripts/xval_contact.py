@@ -46,11 +46,16 @@ def mj_ant_with_plane(extra_xml: str = "", plane_friction="1.5 0.1 0.1"):
 def our_scene(substeps, dt=0.0166, box=None):
     from massive_marl_tpu.envs.ant_scene import AntSceneSpec, AntSceneState
     model = mjcf.parse_mjcf(mjcf.asset_path("ant.xml"))
+    # friction_combine pinned to 'multiply': these scenes validate the
+    # CONTACT MODEL against MuJoCo companions whose pair frictions are
+    # constructed to equal the multiplicative values (ant-ground 1.5 via
+    # MuJoCo max-combine, frictionless box via priority=2); the scene
+    # DEFAULT elsewhere is 'average' (BASELINE.md r4 friction-combine study)
     spec = AntSceneSpec(
         ant_sys=model.system,
         box_sys=mjcf.make_box_system(box, density=1.0, friction=0.0) if box else None,
         box_half_extents=box,
-        num_ants=1, dt=dt, substeps=substeps)
+        num_ants=1, dt=dt, substeps=substeps, friction_combine="multiply")
     return model, spec
 
 
@@ -286,7 +291,8 @@ def scenario_multi_push(substeps=3, n_ants=2, vx=-2.0, T_s=1.5):
     sys_ = model.system
     spec = AntSceneSpec(
         ant_sys=sys_, box_sys=mjcf.make_box_system(he, density=1.0, friction=0.0),
-        box_half_extents=he, num_ants=n_ants, dt=0.0166, substeps=substeps)
+        box_half_extents=he, num_ants=n_ants, dt=0.0166, substeps=substeps,
+        friction_combine="multiply")  # matches the MuJoCo scene's pair mus
     qpos = jax.vmap(lambda y: sys_.init_qpos(jnp.array([x0, y, z0])))(jnp.asarray(ys))
     qvel = jnp.zeros((n_ants, sys_.nv)).at[:, 0].set(vx)
     st = AntSceneState(ant_qpos=qpos, ant_qvel=qvel,

@@ -62,6 +62,29 @@ def test_stiction_feet_hold_and_yaw_matches_mujoco(tau_mag, tol_deg):
     assert dxy_o < 0.01 and dxy_m < 0.01, (dxy_o, dxy_m)
 
 
+@pytest.mark.parametrize("vx,tol_traj,tol_dx_rel", [
+    (-1.0, 0.02, 0.30),   # gentle press-in: measured max|x err| 0.69 cm, dx -0.044 vs -0.051 (14%)
+    (-4.0, 0.10, 0.35),   # hard impact: measured max|x err| 5.5 cm, dx -0.293 vs -0.239 (23%)
+])
+def test_two_ants_push_box_matches_mujoco(vx, tol_traj, tol_dx_rel):
+    """First multi-ant + box scene validated against MuJoCo (VERDICT r3 item
+    5a): two ants thrown at the 28-mass box's side face; ballistic flight,
+    side impact, the box then slides on the plane (frictionless box contacts
+    in both engines).  The box's x trajectory and final displacement must
+    agree.  Impact events are the hardest regime for cross-engine agreement
+    (restitution comes from different contact models: our Hunt-Crossley
+    implicit spring vs MuJoCo's soft-constraint solver), so the impact-
+    dominated tolerances are wider than the quasi-static single-ant ones."""
+    r = xc.scenario_multi_push(vx=vx)
+    dx_o, dx_m = r["dx"]
+    assert r["traj"] < tol_traj, r
+    assert abs(dx_o - dx_m) <= tol_dx_rel * max(abs(dx_m), 0.02), r
+    # same direction of travel, box stays on the ground in both engines
+    assert dx_o < 0 and dx_m < 0, r
+    z_o, z_m = r["z"]
+    assert abs(z_o - z_m) < 0.005, r
+
+
 def test_ant_lands_on_box_matches_mujoco():
     """engine.contact_box under load: the ant lands on and is carried by the
     frictionless box (the force path every benchmark reward depends on,

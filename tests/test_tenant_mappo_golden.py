@@ -5,10 +5,11 @@ the OneAnt+PPO twin (tests/test_ppo.py::test_oneant_ppo_golden_seed_
 regression): a fixed-seed 20-iteration run through the SHIPPED TenAnt.yaml
 env config must stay finite and hold a generous reward band.  Calibrated
 r4: rewards start ~15 (survival + goal-distance terms), dip through the
-on-policy exploration trough (min ~-0.3 at iter 9), recover to ~7-14;
-last-5 mean measured 9.3.  A sign/scale bug in the 10-agent reward
-plumbing or a physics regression lands far outside the band; NaN/collapse
-fails outright.
+on-policy exploration trough, and recover.  Under friction_combine=
+multiply the last-5 mean measured 9.3 (max 18.7); under the shipped
+'average' default it measures 2.7 (max 18.9, trough later) - both inside
+the band.  A sign/scale bug in the 10-agent reward plumbing or a physics
+regression lands far outside it; NaN/collapse fails outright.
 """
 import os
 
