@@ -62,11 +62,15 @@ def test_stiction_feet_hold_and_yaw_matches_mujoco(tau_mag, tol_deg):
     assert dxy_o < 0.01 and dxy_m < 0.01, (dxy_o, dxy_m)
 
 
-@pytest.mark.parametrize("vx,tol_traj,tol_dx_rel", [
-    (-1.0, 0.02, 0.30),   # gentle press-in: measured max|x err| 0.69 cm, dx -0.044 vs -0.051 (14%)
-    (-4.0, 0.10, 0.35),   # hard impact: measured max|x err| 5.5 cm, dx -0.293 vs -0.239 (23%)
+@pytest.mark.parametrize("n_ants,vx,tol_traj,tol_dx_rel", [
+    (2, -1.0, 0.02, 0.30),   # gentle press-in: measured max|x err| 0.69 cm, dx -0.044 vs -0.051 (14%)
+    (2, -4.0, 0.10, 0.35),   # hard impact: measured max|x err| 5.5 cm, dx -0.293 vs -0.239 (23%)
+    (4, -1.0, 0.03, 0.30),   # FOUR ants (closest to the TenAnt regime): measured
+                             # max|x err| 1.14 cm, dx -0.086 vs -0.075, final box
+                             # vx -0.0653 vs -0.0654 (momentum transfer matches
+                             # to 0.2%)
 ])
-def test_two_ants_push_box_matches_mujoco(vx, tol_traj, tol_dx_rel):
+def test_multi_ants_push_box_matches_mujoco(n_ants, vx, tol_traj, tol_dx_rel):
     """First multi-ant + box scene validated against MuJoCo (VERDICT r3 item
     5a): two ants thrown at the 28-mass box's side face; ballistic flight,
     side impact, the box then slides on the plane (frictionless box contacts
@@ -75,7 +79,7 @@ def test_two_ants_push_box_matches_mujoco(vx, tol_traj, tol_dx_rel):
     (restitution comes from different contact models: our Hunt-Crossley
     implicit spring vs MuJoCo's soft-constraint solver), so the impact-
     dominated tolerances are wider than the quasi-static single-ant ones."""
-    r = xc.scenario_multi_push(vx=vx)
+    r = xc.scenario_multi_push(n_ants=n_ants, vx=vx)
     dx_o, dx_m = r["dx"]
     assert r["traj"] < tol_traj, r
     assert abs(dx_o - dx_m) <= tol_dx_rel * max(abs(dx_m), 0.02), r
