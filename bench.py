@@ -163,7 +163,7 @@ def main():
         try:
             from massive_marl_tpu.algos.marl.runner import MarlConfig, MarlRunner
 
-            for algo in ("mappo", "hatrpo"):
+            for algo in ("mappo", "happo", "hatrpo"):
                 mcfg = MarlConfig(algorithm_name=algo)
                 runner = MarlRunner(env, num_envs=num_envs, cfg=mcfg, seed=0,
                                     print_log=False)

@@ -142,6 +142,7 @@ class MarlConfig:
         "data_chunk_length": "data_chunk_length",
         "use_fused_mlp": "use_fused_mlp",
         "bf16_adam_mu": "bf16_adam_mu",   # TPU extension (not a reference key)
+        "optimizer": "optimizer",         # TPU extension: adam | fused_adam
         "use_eval": "use_eval", "eval_interval": "eval_interval",
         "eval_episodes": "eval_episodes",
         "save_interval": "save_interval", "log_interval": "log_interval",

@@ -220,7 +220,12 @@ def get_actor_params_info(spec: Dict[str, Any], sys: System):
     if "mass" in rb:
         emit("rigid_body_properties", "mass", sys.mass, rb["mass"])
     dof = spec.get("dof_properties", {})
-    for attr, source in (("damping", sys.damping), ("stiffness", sys.armature),
+    # `stiffness` reports the value it actually randomizes: armature under
+    # the opt-in maps_to, else the (inert, zero) PhysX drive stiffness the
+    # reference's effort-controlled tasks carry (see sample_dr)
+    stiff_src = (sys.armature if dof.get("stiffness", {}).get("maps_to") == "armature"
+                 else np.zeros(sys.nj))
+    for attr, source in (("damping", sys.damping), ("stiffness", stiff_src),
                          ("lower", sys.jnt_range[:, 0] if sys.nj else []),
                          ("upper", sys.jnt_range[:, 1] if sys.nj else [])):
         if attr in dof:
