@@ -134,7 +134,7 @@ def main():
 
     # ---- PPO rollout/update phase split (VERDICT r3 weak item 1: makes the
     # MFU fields interpretable - rollout is physics+policy-fwd, update is the
-    # NN training math) and the MARL rows (TenAnt+MAPPO / TenAnt+HATRPO, the
+    # NN training math) and the MARL rows (TenAnt+MAPPO/HAPPO/HATRPO, the
     # namesake workloads, measured with the same trusted device-side-scan
     # harness; reference FPS definition runner.py:166-173).  Best-effort:
     # never break the headline JSON.
