@@ -15,21 +15,67 @@ from massive_marl_tpu.utils import config as cfg_mod
 from massive_marl_tpu.utils.registry import build_env
 
 
-def process_sarl(args, env, cfg_train, logdir, num_envs):
+def process_sarl(args, env, cfg_train, logdir, num_envs, mesh=None):
     algo = args.algo
     if algo == "ppo":
         from massive_marl_tpu.algos.rl.ppo import PPO, PPOConfig
         cfg = PPOConfig.from_cfg_train(cfg_train)
-        trainer = PPO(env, num_envs=num_envs, cfg=cfg, seed=cfg_train["seed"], log_dir=logdir)
+        trainer = PPO(env, num_envs=num_envs, cfg=cfg, seed=cfg_train["seed"],
+                      log_dir=logdir, mesh=mesh)
     elif algo == "trpo":
         from massive_marl_tpu.algos.rl.trpo import TRPO, TRPOConfig
         cfg = TRPOConfig.from_cfg_train(cfg_train)
-        trainer = TRPO(env, num_envs=num_envs, cfg=cfg, seed=cfg_train["seed"], log_dir=logdir)
+        trainer = TRPO(env, num_envs=num_envs, cfg=cfg, seed=cfg_train["seed"],
+                       log_dir=logdir, mesh=mesh)
     else:
         from massive_marl_tpu.algos.rl.offpolicy import OffPolicy, OffPolicyConfig
         cfg = OffPolicyConfig.from_cfg_train(cfg_train, algo)
-        trainer = OffPolicy(env, num_envs=num_envs, cfg=cfg, seed=cfg_train["seed"], log_dir=logdir)
+        trainer = OffPolicy(env, num_envs=num_envs, cfg=cfg, seed=cfg_train["seed"],
+                            log_dir=logdir, mesh=mesh)
     return trainer
+
+
+def setup_distributed():
+    """Multi-host SPMD bring-up for the CLI (SURVEY.md section 2.4/5).
+
+    Reads MMT_COORDINATOR / MMT_NUM_PROCESSES / MMT_PROCESS_ID from the
+    environment (parallel/mesh.init_distributed), so a real multi-host launch
+    is the SAME `python -m massive_marl_tpu.cli.train ...` command on every
+    host plus three env vars - scripts/run_multiprocess.sh demonstrates it
+    with CPU processes over localhost.  Returns a global ('data','model')
+    mesh spanning every process, or None when single-process.
+    """
+    import jax
+
+    # honor the JAX_PLATFORMS env var even when the runtime's sitecustomize
+    # latched another platform via the config API at interpreter start (the
+    # axon tunnel does; see tests/conftest.py) - must happen before the
+    # backend initializes, or jax.distributed is silently ignored
+    envp = os.environ.get("JAX_PLATFORMS")
+    if envp and jax.config.jax_platforms != envp:
+        jax.config.update("jax_platforms", envp)
+    from massive_marl_tpu.parallel import mesh as meshlib
+    if not meshlib.init_distributed():
+        return None
+    print(f"[dist] process {jax.process_index()}/{jax.process_count()}: "
+          f"{len(jax.local_devices())} local / {len(jax.devices())} global devices")
+    return meshlib.make_mesh()
+
+
+def _place_state_global(runner, mesh):
+    """Multi-process only: the runner's initial state must be materialized as
+    GLOBAL arrays (env batch sharded over all processes' devices, params
+    replicated) before the first train step - device arrays from a plain
+    init_state() are process-local and cannot feed a mesh that spans
+    processes."""
+    import jax
+
+    if mesh is None or jax.process_count() == 1:
+        return
+    from massive_marl_tpu.parallel import mesh as meshlib
+    st = runner.state if getattr(runner, "state", None) is not None \
+        else runner.init_state()
+    runner.state = meshlib.place_global(st, mesh)
 
 
 def export_viewer(env, runner, logdir, task, n_steps: int | None = None):
@@ -106,9 +152,28 @@ def evaluate_sarl(trainer, env, num_envs, n_episodes: int = 32, seed: int = 0):
 def train(args=None):
     args = args or cfg_mod.get_args()
     cfg_mod.set_np_formatting()
+    # multi-host SPMD: no-op unless MMT_NUM_PROCESSES > 1 is in the env.
+    # Must run BEFORE load_cfg: with --seed -1 every process would otherwise
+    # draw its OWN random seed (load_cfg, reference config.py:35-59) and the
+    # "same program on every host" SPMD contract breaks - the seed is drawn
+    # once on process 0 and broadcast.
+    mesh = setup_distributed()
+    if mesh is not None:
+        import random
+
+        import jax
+        import numpy as np
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            seed = args.seed if args.seed >= 0 else random.randint(0, 10000)
+            args.seed = int(multihost_utils.broadcast_one_to_all(np.int32(seed)))
     cfg, cfg_train, logdir = cfg_mod.load_cfg(args)
     num_envs = cfg["env"]["numEnvs"]
     algo = args.algo
+    if mesh is not None:
+        import jax
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            logdir = None  # one writer/checkpointer per job: process 0
     # reference semantics: --test implies play; --play alone also disables
     # training (reference config.py:288-294)
     args.test = bool(args.test or getattr(args, "play", False))
@@ -126,22 +191,26 @@ def train(args=None):
             from massive_marl_tpu.algos.marl.mat import MatConfig, MatRunner
             mat_cfg = MatConfig.from_cfg_train(cfg_train if isinstance(cfg_train, dict) else {})
             runner = MatRunner(env, num_envs=num_envs, cfg=mat_cfg,
-                               seed=cfg.get("seed", 0), log_dir=logdir)
+                               seed=cfg.get("seed", 0), log_dir=logdir,
+                               mesh=mesh)
         elif algo == "maddpg":
             from massive_marl_tpu.algos.marl.maddpg import MaddpgRunner, MaddpgConfig
             runner = MaddpgRunner(env, num_envs=num_envs,
                                   cfg=MaddpgConfig.from_cfg_train(cfg_train),
-                                  seed=cfg.get("seed", 0), log_dir=logdir)
+                                  seed=cfg.get("seed", 0), log_dir=logdir,
+                                  mesh=mesh)
         else:
             from massive_marl_tpu.algos.marl.runner import MarlConfig, MarlRunner
             mc = MarlConfig.from_cfg_train(cfg_train, algo)
             if mc.use_recurrent_policy:
                 from massive_marl_tpu.algos.marl.recurrent_runner import RecurrentMarlRunner
                 runner = RecurrentMarlRunner(env, num_envs=num_envs, cfg=mc,
-                                             seed=cfg.get("seed", 0), log_dir=logdir)
+                                             seed=cfg.get("seed", 0), log_dir=logdir,
+                                             mesh=mesh)
             else:
                 runner = MarlRunner(env, num_envs=num_envs, cfg=mc,
-                                    seed=cfg.get("seed", 0), log_dir=logdir)
+                                    seed=cfg.get("seed", 0), log_dir=logdir,
+                                    mesh=mesh)
         if args.model_dir:
             path = (cfg_mod.latest_checkpoint(logdir) if args.model_dir == "latest"
                     else args.model_dir)
@@ -155,6 +224,7 @@ def train(args=None):
             if not args.headless:
                 export_viewer(env, runner, logdir, args.task)
             return runner
+        _place_state_global(runner, mesh)
         if algo == "maddpg":
             # off-policy runner counts iterations, not env steps
             runner.run(args.max_iterations or None)
@@ -167,7 +237,7 @@ def train(args=None):
 
     if algo in cfg_mod.SARL_ALGOS:
         env = build_env(args.task, cfg, multi_agent=False)
-        trainer = process_sarl(args, env, cfg_train, logdir, num_envs)
+        trainer = process_sarl(args, env, cfg_train, logdir, num_envs, mesh=mesh)
         if args.model_dir:
             path = (cfg_mod.latest_checkpoint(logdir) if args.model_dir == "latest"
                     else args.model_dir)
@@ -181,9 +251,18 @@ def train(args=None):
             if not args.headless:
                 export_viewer(env, trainer, logdir, args.task)
             return trainer
+        _place_state_global(trainer, mesh)
         n = args.max_iterations or None
         trainer.run(n)
         return trainer
+
+    if mesh is not None:
+        import jax
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                f"multi-process CLI launch supports the SARL and MARL "
+                f"families; --algo {algo} runs single-process (its mesh "
+                f"support is exercised in-process, tests/test_distributed.py)")
 
     if algo in cfg_mod.MTRL_ALGOS:
         from massive_marl_tpu.algos.mtrl.mtppo import MTPPO, MTPPOConfig, RandomPolicyRunner

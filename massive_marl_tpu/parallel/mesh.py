@@ -20,12 +20,51 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None):
-    """Multi-host bring-up (no-op on a single host)."""
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host bring-up (no-op on a single host).
+
+    Arguments fall back to the `MMT_COORDINATOR` / `MMT_NUM_PROCESSES` /
+    `MMT_PROCESS_ID` environment variables so a real multi-host launch is
+    "same command on every host, plus three env vars" (cli/train.py calls
+    this unconditionally before building the env).  Returns True when a
+    multi-process runtime was actually initialized.
+
+    Exercised for real (2-4 CPU processes over localhost, cross-process Gloo
+    collectives) by scripts/run_multiprocess.py / tests/test_multiprocess.py.
+    """
+    import os
+
+    if coordinator is None:
+        coordinator = os.environ.get("MMT_COORDINATOR")
+    if num_processes is None:
+        num_processes = int(os.environ.get("MMT_NUM_PROCESSES", 0)) or None
+    if process_id is None:
+        pid = os.environ.get("MMT_PROCESS_ID")
+        process_id = int(pid) if pid is not None else None
     if num_processes and num_processes > 1:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
+        return True
+    return False
+
+
+def host_to_global(tree: Any, shardings: Any) -> Any:
+    """Place a host-side (or fully-addressable) pytree onto a possibly
+    multi-process mesh.
+
+    `jax.device_put` cannot target shardings whose devices span other
+    processes; `make_array_from_callback` can - each process materializes
+    only the shards it owns, reading them out of its local copy of the full
+    value (every process computes the same deterministic host-side init, so
+    local slicing yields a consistent global array)."""
+    def place(x, s):
+        x = np.asarray(x)
+        if x.ndim == 0:  # scalars: wrap so indexing callbacks still work
+            x = x[None][0]
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(place, tree, shardings)
 
 
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
@@ -84,6 +123,25 @@ def train_state_shardings(ts, mesh: Mesh):
 def apply_sharding(ts, mesh: Mesh):
     """Place an existing host-side TrainState onto the mesh."""
     return jax.device_put(ts, train_state_shardings(ts, mesh))
+
+
+def global_state_shardings(ts, mesh: Mesh):
+    """Shardings for any trainer family's TrainState: env_state sharded on
+    its leading (env) axis, a replay ring (if present) on its env axis
+    (axis 1 of [R, E, ...]), everything else replicated.  Used by the
+    multi-process CLI path (cli/train.py) to place the initial state onto a
+    mesh that spans processes."""
+    sh = replicate_tree(ts, mesh)
+    if hasattr(ts, "env_state"):
+        sh = sh.replace(env_state=shard_leading_axis(ts.env_state, mesh))
+    if hasattr(ts, "replay"):
+        sh = sh.replace(replay=shard_axis_tree(ts.replay, mesh, axis=1))
+    return sh
+
+
+def place_global(ts, mesh: Mesh):
+    """Host-side TrainState -> global (possibly multi-process) placement."""
+    return host_to_global(jax.device_get(ts), global_state_shardings(ts, mesh))
 
 
 def shard_env_step(step_fn, mesh: Mesh):
