@@ -98,9 +98,20 @@ class MarlConfig:
                                          # tree traversal - no materialized
                                          # rescaled-grad/updates trees (VERDICT
                                          # r3 item 7 lever; equivalence-tested,
-                                         # measured in BASELINE.md r4)
+                                         # measured in BASELINE.md r4).
+                                         # NOTE: opt-state structures differ -
+                                         # checkpoints do not restore across a
+                                         # toggle (restore() raises clearly)
     use_huber_loss: bool = True
     use_clipped_value_loss: bool = True
+    update_schedule: str = "sequential"  # mappo/ippo FUSED update schedule:
+                                         # "sequential" = per-agent scan (the
+                                         # happo machinery minus the factor -
+                                         # agents are independent, so the math
+                                         # is identical; r5: closes the
+                                         # mappo-vs-happo throughput gap, see
+                                         # BASELINE.md) | "stacked" = joint
+                                         # [N,B] kernels (r1-r4 behavior)
     data_chunk_length: Any = None        # recurrent minibatch chunk (see recurrent_runner)
     # fused Pallas MLP block for the update phase (ops/fused_mlp.py);
     # "auto" = on when running on TPU, off on CPU (where the flax path is
@@ -141,6 +152,7 @@ class MarlConfig:
         "use_clipped_value_loss": "use_clipped_value_loss",
         "data_chunk_length": "data_chunk_length",
         "use_fused_mlp": "use_fused_mlp",
+        "update_schedule": "update_schedule",  # TPU extension (r5)
         "bf16_adam_mu": "bf16_adam_mu",   # TPU extension (not a reference key)
         "optimizer": "optimizer",         # TPU extension: adam | fused_adam
         "use_eval": "use_eval", "eval_interval": "eval_interval",
@@ -339,6 +351,12 @@ class MarlRunner:
             # update_linear_schedule: lr - lr * episode/episodes, stepped
             # once per episode (policy lr_decay; utils/util.py)
             lr = lambda step: base * (1.0 - jnp.minimum(step // per_ep, eps) / eps)
+        if c.optimizer not in ("adam", "fused_adam"):
+            # a yaml typo ('fused-adam', 'Adam') must not silently fall
+            # through to the default optimizer (ADVICE r4)
+            raise ValueError(
+                f"MarlConfig.optimizer must be 'adam' or 'fused_adam', "
+                f"got {c.optimizer!r}")
         if c.optimizer == "fused_adam":
             return FusedClipAdam(
                 lr, clip=c.max_grad_norm if c.use_max_grad_norm else float("inf"),
@@ -431,6 +449,20 @@ class MarlRunner:
             use_fused = jax.default_backend() in ("tpu", "axon")
         use_fused = bool(use_fused) and cfg.hidden_size % 128 == 0
 
+        if cfg.update_schedule not in ("sequential", "stacked"):
+            raise ValueError(f"MarlConfig.update_schedule must be "
+                             f"'sequential' or 'stacked', got "
+                             f"{cfg.update_schedule!r}")
+        # mappo/ippo on the fused kernels: run the update through the
+        # sequential per-agent scan (the happo machinery with the factor
+        # statically removed).  Agents' parameters are disjoint and their
+        # losses independent, so per-agent-in-sequence == jointly-stacked
+        # exactly (tests/test_marl.py test_mappo_sequential_matches_stacked);
+        # measured A/B vs the stacked path in BASELINE.md ("mappo update
+        # schedule", r5 - the persistent mappo-vs-happo inversion)
+        seq_mappo = (not is_happo) and use_fused \
+            and cfg.update_schedule == "sequential"
+
         # HAPPO's per-agent batches get feature-normalized ONCE before the
         # epoch loop (the LN statistics are parameter-free); hatrpo keeps raw
         # batches because its TRPO step runs on the flax actor
@@ -439,7 +471,7 @@ class MarlRunner:
         if use_fused:
             from massive_marl_tpu.algos.marl import fused_nets
             from massive_marl_tpu.ops.fused_mlp import feature_norm
-            happo_prenorm = cfg.algorithm_name == "happo"
+            happo_prenorm = cfg.algorithm_name == "happo" or seq_mappo
 
             def f_actor(ap, obs, prenormed=False):  # agent-stacked [N,B,obs]
                 return fused_nets.actor_apply(
@@ -966,7 +998,7 @@ class MarlRunner:
                 return b
 
             key, k_mb = jax.random.split(key)
-            if not is_happo:
+            if not is_happo and not seq_mappo:
                 # -------- MAPPO / IPPO: independent agents --------
                 all_batches = jax.vmap(agent_batch_core)(jnp.arange(N))
                 all_batches["active"] = jnp.broadcast_to(active_flat, (N, T * E))
@@ -1023,9 +1055,15 @@ class MarlRunner:
                         ts.critic_opt, ts.vnorm, all_batches)
             else:
                 # -------- HAPPO: sequential agents with importance factor
-                # (runner.py:266-317) --------
+                # (runner.py:266-317).  Also carries seq_mappo (mappo/ippo
+                # routed through the same per-agent scan with the factor
+                # statically removed - agent updates are independent, so
+                # agent order is irrelevant and the math matches the stacked
+                # path) --------
+                with_factor = is_happo
                 key, k_perm = jax.random.split(key)
-                perm = jax.random.permutation(k_perm, N)
+                perm = jax.random.permutation(k_perm, N) if with_factor \
+                    else jnp.arange(N)
 
                 # batch data with the LEADING axis the flat env-step batch
                 # (shardable over 'data'); agent axis second
@@ -1065,8 +1103,10 @@ class MarlRunner:
                             tree, new)
                         ap, ao, cp, co, vn = gi(ap_all), gi(ao_all), gi(cp_all), gi(co_all), gi(vn_all)
 
-                        mean_o, std_o = a_apply(ap, batch["obs"], happo_prenorm)
-                        old_logp = nets.normal_log_prob(mean_o, std_o, batch["actions"])
+                        if with_factor:
+                            mean_o, std_o = a_apply(ap, batch["obs"], happo_prenorm)
+                            old_logp = nets.normal_log_prob(mean_o, std_o,
+                                                            batch["actions"])
                         if cfg.algorithm_name == "hatrpo":
                             # fused path: Gauss-Newton Fisher-vector products
                             # on the manual-JVP kernels (see trpo_actor_update)
@@ -1076,9 +1116,11 @@ class MarlRunner:
                         else:
                             ap, ao, cp, co, vn, aloss, vloss = agent_epochs(
                                 k_ep, ap, ao, cp, co, vn, batch, axis_name)
-                        mean_n, std_n = a_apply(ap, batch["obs"], happo_prenorm)
-                        new_logp = nets.normal_log_prob(mean_n, std_n, batch["actions"])
-                        factor = factor * jnp.exp(new_logp - old_logp)
+                        if with_factor:
+                            mean_n, std_n = a_apply(ap, batch["obs"], happo_prenorm)
+                            new_logp = nets.normal_log_prob(mean_n, std_n,
+                                                            batch["actions"])
+                            factor = factor * jnp.exp(new_logp - old_logp)
 
                         carry = (si(ap_all, ap), si(ao_all, ao), si(cp_all, cp),
                                  si(co_all, co), si(vn_all, vn), factor)
@@ -1207,8 +1249,8 @@ class MarlRunner:
             "critic_opt": self.state.critic_opt,
             "vnorm": self.state.vnorm,
             "iteration": self.state.iteration})
-        with open(path, "wb") as f:
-            f.write(blob)
+        from massive_marl_tpu.utils.checkpoint import atomic_write_bytes
+        atomic_write_bytes(path, blob)
 
     def restore(self, path: str):
         from flax import serialization
@@ -1220,7 +1262,20 @@ class MarlRunner:
                 "critic_opt": self.state.critic_opt,
                 "vnorm": self.state.vnorm, "iteration": self.state.iteration}
         with open(path, "rb") as f:
-            restored = serialization.from_bytes(tmpl, f.read())
+            blob = f.read()
+        try:
+            restored = serialization.from_bytes(tmpl, blob)
+        except (ValueError, KeyError) as e:
+            # the FusedClipAdam opt-state pytree (dict of count/mu/nu) is
+            # structurally incompatible with the optax chain state, so a
+            # checkpoint saved under one cfg.optimizer cannot restore under
+            # the other (ADVICE r4) - fail with the cause, not a shape error
+            raise ValueError(
+                f"checkpoint {path} does not match this runner's state "
+                f"template. If it was saved under a different cfg.optimizer "
+                f"('adam' vs 'fused_adam'), their optimizer-state structures "
+                f"are incompatible - restore with the same optimizer setting "
+                f"it was saved with. Original error: {e}") from e
         self.state = self.state.replace(**restored)
 
     def eval(self, n_episodes: int | None = None, deterministic: bool = True):

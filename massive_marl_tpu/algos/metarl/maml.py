@@ -145,7 +145,12 @@ class MAMLPPO:
             xy2 = pl.ant_qpos[..., 0, 0:2]
             heading = jnp.stack([jnp.cos(task_param), jnp.sin(task_param)])
             proj_v = ((xy2 - xy1) / dt) @ heading
-            proj_v = jnp.where(prev_state.done, 0.0, proj_v)
+            # mask reset teleports: prev.done covers the ordinary auto-reset,
+            # but a blown-up env (NaN containment, base.py _finish_step
+            # reset_now = done | blown) resets WITHOUT prev.done - progress
+            # not advancing past prev marks both (ADVICE r4)
+            reset_step = prev_state.done | (next_state.progress <= prev_state.progress)
+            proj_v = jnp.where(reset_step, 0.0, proj_v)
             return proj_v + 0.05 * next_state.reward
         if hasattr(next_state, "pos"):
             target = task_param / jnp.pi          # [-1, 1]
@@ -266,7 +271,10 @@ class MAMLPPO:
             the only difference is the adaptation - the measurable claim
             MAML makes (the reference's sample_support/query structure,
             mamlppo.py:139-361)."""
-            k_pre, k_sup, k_post = jax.random.split(key, 3)
+            # two keys only: the post rollout deliberately reuses k_pre so
+            # pre/post differ ONLY by the adaptation (ADVICE r4: a dead third
+            # split implied otherwise)
+            k_pre, k_sup = jax.random.split(key)
             _, _, pre_traj = rollout(params, env_state, k_pre, c.query_steps,
                                      task_param)
 
@@ -342,9 +350,8 @@ class MAMLPPO:
 
     def save(self, path):
         from flax import serialization
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "wb") as f:
-            f.write(serialization.to_bytes({"params": self.state.params,
+        from massive_marl_tpu.utils.checkpoint import atomic_write_bytes
+        atomic_write_bytes(path, serialization.to_bytes({"params": self.state.params,
                                             "iteration": self.state.iteration}))
 
     def load(self, path):

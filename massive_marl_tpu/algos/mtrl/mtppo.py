@@ -239,9 +239,8 @@ class MTPPO:
 
     def save(self, path):
         from flax import serialization
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "wb") as f:
-            f.write(serialization.to_bytes({"params": self.state.params,
+        from massive_marl_tpu.utils.checkpoint import atomic_write_bytes
+        atomic_write_bytes(path, serialization.to_bytes({"params": self.state.params,
                                             "iteration": self.state.iteration}))
 
     def load(self, path):

@@ -459,9 +459,8 @@ class OffPolicy:
 
     def save(self, path: str):
         from flax import serialization
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "wb") as f:
-            f.write(serialization.to_bytes(
+        from massive_marl_tpu.utils.checkpoint import atomic_write_bytes
+        atomic_write_bytes(path, serialization.to_bytes(
                 {"params": self.state.params, "target_params": self.state.target_params,
                  "iteration": self.state.iteration}))
 

@@ -315,8 +315,8 @@ class PPO:
         blob = serialization.to_bytes(
             {"params": self.state.params, "opt_state": self.state.opt_state,
              "lr": self.state.lr, "iteration": self.state.iteration})
-        with open(path, "wb") as f:
-            f.write(blob)
+        from massive_marl_tpu.utils.checkpoint import atomic_write_bytes
+        atomic_write_bytes(path, blob)
 
     def load(self, path: str):
         from flax import serialization

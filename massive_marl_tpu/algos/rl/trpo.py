@@ -309,9 +309,8 @@ class TRPO:
 
     def save(self, path):
         from flax import serialization
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "wb") as f:
-            f.write(serialization.to_bytes(
+        from massive_marl_tpu.utils.checkpoint import atomic_write_bytes
+        atomic_write_bytes(path, serialization.to_bytes(
                 {"actor_params": self.state.actor_params,
                  "critic_params": self.state.critic_params,
                  "iteration": self.state.iteration}))

@@ -76,6 +76,11 @@ class AntSceneSpec(NamedTuple):
     # zeroed), /root/reference/cfg/TenAnt.yaml:55-56 (plane mu=1.0).
     plane_friction: float = 1.0
     friction_combine: str = "average"
+    # ant-box PAIR friction override (None = combine(ant material, box
+    # material) under friction_combine).  Probe knob for the OneAnt peak
+    # attribution study (BASELINE.md r5): average combine everywhere EXCEPT
+    # the ant-box pair forced to a given mu isolates that pair's effect.
+    ant_box_mu: Optional[float] = None
     # domain randomization spec (actor_params.ant subtree) or None
     dr_spec: Any = None
     # joint-limit penalty override (None = engine.LIMIT_K / LIMIT_DAMP)
@@ -116,8 +121,9 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
                                      pi=pi, h=h)
         box_wrench = jnp.zeros(6)
         if has_box:
-            mu_box = engine.combine_mu(s.point_friction, box_mu_mat,
-                                       spec.friction_combine)
+            mu_box = (spec.ant_box_mu if spec.ant_box_mu is not None
+                      else engine.combine_mu(s.point_friction, box_mu_mat,
+                                             spec.friction_combine))
             f_box, box_wrench = engine.contact_box(
                 p_w, v_w, s.point_radius, mu_box,
                 box_qpos[0:3], box_qpos[3:7], box_qvel,

@@ -72,6 +72,10 @@ class TenAntEnv:
         plane_cfg = env_cfg.get("plane", {}) or {}
         plane_friction = float(plane_cfg.get("staticFriction", 1.0))
         friction_combine = str(sim_cfg.get("friction_combine", "average"))
+        # probe knob (BASELINE.md r5 peak attribution): force the ant-box
+        # PAIR friction, leaving every other pair under friction_combine
+        abm = sim_cfg.get("ant_box_friction", None)
+        ant_box_mu = None if abm is None else float(abm)
         # fused Pallas physics substep (ops/fused_substep.py).  DR composes
         # with it: the randomized per-ant parameters travel as a batched
         # kernel operand (no per-env constant baking).
@@ -107,6 +111,7 @@ class TenAntEnv:
             power_scale=self.power_scale,
             plane_friction=plane_friction,
             friction_combine=friction_combine,
+            ant_box_mu=ant_box_mu,
             dr_spec=dr_spec,
         )
         self.init_hinge = jnp.asarray(model.init_hinge)

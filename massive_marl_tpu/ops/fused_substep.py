@@ -114,7 +114,7 @@ def _dr_pad_values(c: sp.AntConsts):
 def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
                     cp: engine.ContactParams, plane_friction: float,
                     box_friction: float, friction_combine: str,
-                    limit_k, limit_damp, dr_slices, *refs):
+                    ant_box_mu, limit_k, limit_damp, dr_slices, *refs):
     if dr_slices is not None:
         aq_ref, av_ref, tau_ref, bq_ref, bv_ref, dr_ref, naq_ref, nav_ref, wr_ref, sens_ref = refs
         dr = {name: [dr_ref[i] for i in range(s, e)]
@@ -135,6 +135,7 @@ def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
         cp.stiffness, cp.damping, cp.friction_vel,
         plane_friction=plane_friction,
         box_friction=box_friction, friction_combine=friction_combine,
+        ant_box_mu=ant_box_mu,
         limit_k=limit_k, limit_damp=limit_damp,
         beta=cp.beta, max_depen_vel=cp.max_depen_vel,
         acc_units=bool(cp.acc_units), hc_vel=float(cp.hc_vel),
@@ -161,7 +162,8 @@ def build_substep(c: sp.AntConsts, box_he: Optional[Tuple[float, float, float]],
                   limit_k: Optional[float] = None,
                   limit_damp: Optional[float] = None,
                   box_friction: float = 0.0,
-                  friction_combine: str = "multiply"):
+                  friction_combine: str = "multiply",
+                  ant_box_mu=None):
     """Returns f(aq3, av3, tau3, bq3, bv3[, dr3]) -> (naq3, nav3, wrench3, sens3).
 
     All operands are [n_fields, rows, 128] f32; wrench3 is [6, rows, 128]
@@ -183,7 +185,7 @@ def build_substep(c: sp.AntConsts, box_he: Optional[Tuple[float, float, float]],
 
     kernel = functools.partial(_substep_kernel, c, box_he, box_inv,
                                gravity, h, cp, plane_friction,
-                               box_friction, friction_combine,
+                               box_friction, friction_combine, ant_box_mu,
                                limit_k, limit_damp, dr_slices)
     call = pl.pallas_call(
         kernel,
@@ -250,7 +252,8 @@ def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 16,
                            with_dr=use_dr,
                            limit_k=spec.limit_k, limit_damp=spec.limit_damp,
                            box_friction=box_mu_mat,
-                           friction_combine=spec.friction_combine)
+                           friction_combine=spec.friction_combine,
+                           ant_box_mu=spec.ant_box_mu)
 
     tau_act = (actions * sys.gear * spec.power_scale).astype(jnp.float32)
 

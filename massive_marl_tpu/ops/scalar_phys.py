@@ -224,6 +224,7 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
             plane_friction: float = 1.0,
             box_friction: float = 0.0,
             friction_combine: str = "multiply",
+            ant_box_mu: float | None = None,
             limit_k: float | None = None, limit_damp: float | None = None,
             max_ang_vel: float = 64.0, max_lin_vel: float = 200.0,
             max_dof_vel: float = 64.0,
@@ -396,8 +397,9 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
             # box material is 0 for the TenAnt push-box (ten_ant.py:548-552),
             # so 'multiply' gives a frictionless pair and 'average' (PhysX's
             # default combine mode) gives mu_ant/2
-            mu_box = _combine_mu_f(c.point_friction[p_i], box_friction,
-                                   friction_combine)
+            mu_box = (ant_box_mu if ant_box_mu is not None
+                      else _combine_mu_f(c.point_friction[p_i], box_friction,
+                                         friction_combine))
             f_bx = _contact_force(depth_b, n_w, v_rel, mu_box,
                                   stiffness, damping_c, friction_vel,
                                   w_fn=w_fn_box, h=h if clamp else None,

@@ -83,3 +83,17 @@ def restore_latest(directory: str, template: Any, prefix: str = "ckpt"):
         restored = serialization.from_bytes(template, f.read())
     step = int(os.path.basename(path).rsplit("_", 1)[1].split(".")[0])
     return restored, step
+
+
+def atomic_write_bytes(path: str, blob: bytes):
+    """Crash-safe file write: tmp + fsync + atomic os.replace.  A process
+    killed mid-save (preemption, OOM) must never leave a truncated file at
+    the checkpoint path - readers (restore_latest, --model_dir latest) see
+    either the previous complete checkpoint or the new complete one."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)

@@ -1,0 +1,123 @@
+"""Crash-safety of checkpoint/resume (SURVEY.md section 5 "failure detection /
+elastic recovery"; VERDICT r4 item 6).
+
+1. kill-mid-write: a writer interrupted between the tmp write and the atomic
+   os.replace must leave restore_latest returning the PREVIOUS complete
+   checkpoint (stale .tmp files are invisible to both restore_latest and the
+   CLI's --model_dir latest resolution).
+2. e2e CLI preemption: train N iterations in a subprocess, SIGKILL it,
+   relaunch with --model_dir latest, and assert the run resumed from the
+   checkpointed iteration WITH its optimizer moments.
+"""
+import glob
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import jax.numpy as jnp
+import yaml
+
+from massive_marl_tpu.utils.checkpoint import (AsyncCheckpointer,
+                                               atomic_write_bytes,
+                                               restore_latest)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_kill_mid_write_restores_previous(tmp_path):
+    d = str(tmp_path)
+    ck = AsyncCheckpointer(d, keep=3)
+    tree = {"w": jnp.arange(4.0), "step": jnp.asarray(0)}
+    ck.save(1, {**tree, "step": jnp.asarray(1)})
+    ck.wait()
+
+    # simulate the worker dying between the tmp write and os.replace: a
+    # partial tmp file for step 2 exists, the final file does not
+    with open(os.path.join(d, "ckpt_2.ckpt.tmp"), "wb") as f:
+        f.write(b"\x00partial-garbage")
+
+    restored, step = restore_latest(d, tree)
+    assert step == 1
+    assert int(restored["step"]) == 1
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(4.0))
+
+    # the CLI's latest-checkpoint resolution must ignore the .tmp as well
+    from massive_marl_tpu.utils.config import latest_checkpoint
+    assert latest_checkpoint(d).endswith("ckpt_1.ckpt")
+
+
+def test_atomic_write_never_exposes_partial(tmp_path):
+    p = str(tmp_path / "model_1.ckpt")
+    atomic_write_bytes(p, b"A" * 1024)
+    assert open(p, "rb").read() == b"A" * 1024
+    # overwrite with new content: readers see old-complete or new-complete
+    atomic_write_bytes(p, b"B" * 2048)
+    assert open(p, "rb").read() == b"B" * 2048
+    assert not os.path.exists(p + ".tmp")
+
+
+def test_cli_preemption_resume(tmp_path):
+    """Train OneAnt+PPO via the CLI, SIGKILL after the first checkpoint,
+    relaunch with --model_dir latest and assert iteration + Adam moments
+    resumed (the reference loses optimizer state entirely on resume,
+    reference ppo.py load/save)."""
+    # tiny cfg_train: checkpoint every 2 iterations, small nets
+    with open(os.path.join(REPO, "cfg", "ppo", "config.yaml")) as f:
+        cfg_train = yaml.safe_load(f)
+    cfg_train["learn"]["save_interval"] = 2
+    cfg_train["policy"]["pi_hid_sizes"] = [32, 32]
+    cfg_train["policy"]["vf_hid_sizes"] = [32, 32]
+    cfg_path = tmp_path / "cfg_train.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_train))
+    logdir = str(tmp_path / "logs")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    args = [sys.executable, os.path.join(REPO, "train.py"),
+            "--task", "OneAnt", "--algo", "ppo", "--num_envs", "8",
+            "--seed", "11", "--headless", "--logdir", logdir,
+            "--cfg_train", str(cfg_path), "--max_iterations", "4000"]
+    p = subprocess.Popen(args, env=env, cwd=REPO,
+                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.time() + 600
+        ckpts = []
+        while time.time() < deadline:
+            ckpts = glob.glob(os.path.join(logdir, "**", "model_*.ckpt"),
+                              recursive=True)
+            if ckpts:
+                break
+            assert p.poll() is None, "trainer exited before first checkpoint"
+            time.sleep(0.5)
+        assert ckpts, "no checkpoint appeared within 600s"
+    finally:
+        # preemption: SIGKILL the exact PID we started (no pattern kills)
+        p.kill()
+        p.wait()
+
+    latest = max(ckpts, key=os.path.getmtime)
+    saved_iter = int(os.path.basename(latest).split("_")[1].split(".")[0])
+    assert saved_iter >= 2
+
+    # relaunch in-process with --max_iterations == saved_iter: the run loop
+    # (`for it in range(iteration, n)`) then does ZERO new training, so the
+    # returned state is exactly what restore produced
+    from massive_marl_tpu.cli.train import train as cli_train
+    from massive_marl_tpu.utils import config as cfg_mod
+    args2 = cfg_mod.get_args(
+        ["--task", "OneAnt", "--algo", "ppo", "--num_envs", "8",
+         "--seed", "11", "--headless", "--logdir", logdir,
+         "--cfg_train", str(cfg_path), "--model_dir", "latest",
+         "--max_iterations", str(saved_iter)])
+    trainer = cli_train(args2)
+    assert int(trainer.state.iteration) == saved_iter
+    # optimizer moments resumed: after saved_iter Adam steps the second
+    # moments are strictly positive (a fresh init would be all zeros)
+    import jax
+    leaves = jax.tree_util.tree_leaves(trainer.state.opt_state)
+    big = [l for l in leaves if hasattr(l, "size") and l.size > 1]
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in big), \
+        "optimizer moments were not restored"
