@@ -204,7 +204,7 @@ def main():
             dcfg = MaddpgConfig(replay_size=1000)
             mad = MaddpgRunner(env, num_envs=E_mad, cfg=dcfg, seed=0,
                                print_log=False)
-            dit = jax.jit(mad._make_train_iter())
+            dit = mad._make_iter(update=True)  # raw (un-donated) iter fn
             dt_d = time_scanned(lambda t: dit(t)[0], mad.init_state(),
                                 n=10, rtt=rtt)
             out["tenant_maddpg_env_steps_per_sec"] = round(

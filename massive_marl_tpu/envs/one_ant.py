@@ -65,6 +65,11 @@ class OneAntEnv:
         # PAIR friction, leaving every other pair under friction_combine
         abm = sim_cfg.get("ant_box_friction", None)
         ant_box_mu = None if abm is None else float(abm)
+        # contact-constant overrides (sweeps/sensitivity studies; keys are
+        # engine.ContactParams fields, e.g. hc_cap - BASELINE.md r5 impact
+        # study).  Default: the MuJoCo-tuned shipped constants.
+        from massive_marl_tpu.phys.engine import ContactParams as _CP
+        contact = _CP(**(sim_cfg.get("contact", {}) or {}))
         # fused Pallas physics (ops/fused_substep.py): "auto" = on for TPU.
         # DR composes with it (randomized params ride as a kernel operand).
         fused = sim_cfg.get("fused_kernel", "auto")
@@ -97,6 +102,7 @@ class OneAntEnv:
             plane_friction=plane_friction,
             friction_combine=friction_combine,
             ant_box_mu=ant_box_mu,
+            contact=contact,
             dr_spec=dr_spec,
         )
         self.init_hinge = jnp.asarray(model.init_hinge)

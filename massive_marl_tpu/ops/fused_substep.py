@@ -139,6 +139,7 @@ def _substep_kernel(c: sp.AntConsts, box_he, box_inv, gravity, h: float,
         limit_k=limit_k, limit_damp=limit_damp,
         beta=cp.beta, max_depen_vel=cp.max_depen_vel,
         acc_units=bool(cp.acc_units), hc_vel=float(cp.hc_vel),
+        hc_cap=float(getattr(cp, "hc_cap", 0.0)),
         box_inv=box_inv, dr=dr)
     for i in range(NQ):
         naq_ref[i] = nqp[i]

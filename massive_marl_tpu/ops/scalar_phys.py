@@ -230,6 +230,7 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
             max_dof_vel: float = 64.0,
             beta: float | None = None, max_depen_vel: float = 4.0,
             acc_units: bool = True, hc_vel: float = 0.0,
+            hc_cap: float = 0.0,
             box_inv: tuple | None = None,
             dr: dict | None = None):
     """One physics substep in scalar form.
@@ -354,7 +355,7 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
                               stiffness, damping_c, friction_vel,
                               w_fn=w_fn, h=h if clamp else None,
                               beta=beta if clamp else 0.2, mdv=max_depen_vel,
-                              acc_units=acc_units, hc_vel=hc_vel)
+                              acc_units=acc_units, hc_vel=hc_vel, hc_cap=hc_cap)
 
         if box_he is not None:
             rel = v3_sub(p_w, bp)
@@ -404,7 +405,7 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
                                   stiffness, damping_c, friction_vel,
                                   w_fn=w_fn_box, h=h if clamp else None,
                                   beta=beta if clamp else 0.2, mdv=max_depen_vel,
-                                  acc_units=acc_units, hc_vel=hc_vel)
+                                  acc_units=acc_units, hc_vel=hc_vel, hc_cap=hc_cap)
             f_pt = v3_add(f_pt, f_bx)
             tq = v3_cross(v3_sub(cpnt, bp), f_bx)
             box_wrench = s6_add(box_wrench,
@@ -577,7 +578,7 @@ def substep(c: AntConsts, qpos: Sequence, qvel: Sequence, tau_act: Sequence,
 
 def _contact_force(depth, normal, v_rel, friction, kn, kd, fv,
                    w_fn=None, h=None, beta=0.2, mdv=4.0, acc_units=True,
-                   hc_vel=0.0):
+                   hc_vel=0.0, hc_cap=0.0):
     """Mirror of engine._contact_force: implicit spring-damper normal force +
     exact-stiction Coulomb friction (see engine.ContactParams docstring;
     acc_units=True means kn/kd are mass-scaled MuJoCo-solref-style constants
@@ -596,9 +597,11 @@ def _contact_force(depth, normal, v_rel, friction, kn, kd, fv,
         w_t = w_fn(t_dir)
         if not (isinstance(hc_vel, (int, float)) and hc_vel == 0.0):
             hc_t = jnp.asarray(hc_vel)
-            kn = kn * jnp.where(hc_t > 0,
-                                jnp.clip(1.0 - vn / jnp.maximum(hc_t, 1e-9),
-                                         0.0, None), 1.0)
+            fac = jnp.clip(1.0 - vn / jnp.maximum(hc_t, 1e-9), 0.0, None)
+            if not (isinstance(hc_cap, (int, float)) and hc_cap == 0.0):
+                cap_t = jnp.asarray(hc_cap)
+                fac = jnp.where(cap_t > 0, jnp.minimum(fac, cap_t), fac)
+            kn = kn * jnp.where(hc_t > 0, fac, 1.0)
         kh = kn * h + kd
         if acc_units:
             fn = (kn * depth - kh * vn) / (w_n * (1.0 + h * kh))

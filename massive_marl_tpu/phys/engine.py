@@ -399,6 +399,13 @@ class ContactParams(NamedTuple):
     # dissipation-model fix (Hunt & Crossley 1975; Drake's hydroelastic
     # model uses the same form).
     hc_vel: float = 0.5
+    # cap on the Hunt-Crossley COMPRESSION amplification factor (0 = no
+    # cap, the shipped default).  At a 4 m/s impact the uncapped factor is
+    # 1 + 4/hc_vel = 9x, which transfers ~23% more impulse into the TenAnt
+    # push-box than MuJoCo's solver (BASELINE.md r4 multi-push table); the
+    # r5 impact sweep (scripts/impact_sweep_r5.py) measures dx error vs cap
+    # and the TenAnt learning sensitivity across that span.
+    hc_cap: float = 0.0
 
 
 class PointInertia(NamedTuple):
@@ -514,9 +521,12 @@ def _contact_force(depth, normal, v_rel, friction, cp: ContactParams,
             # the spring-damper solve (kn_eff >= 0 keeps it unconditionally
             # stable).  Branchless so hc may be a traced value (sweeps).
             hc_t = jnp.asarray(hc)
-            kn = kn * jnp.where(hc_t > 0,
-                                jnp.clip(1.0 - vn / jnp.maximum(hc_t, 1e-9),
-                                         0.0, None), 1.0)
+            fac = jnp.clip(1.0 - vn / jnp.maximum(hc_t, 1e-9), 0.0, None)
+            cap = getattr(cp, "hc_cap", 0.0)
+            if not (isinstance(cap, (int, float)) and cap == 0.0):
+                cap_t = jnp.asarray(cap)
+                fac = jnp.where(cap_t > 0, jnp.minimum(fac, cap_t), fac)
+            kn = kn * jnp.where(hc_t > 0, fac, 1.0)
         kh = kn * h + cp.damping
         if getattr(cp, "acc_units", False):
             # mass-scaled constants: identical penetration dynamics for

@@ -43,7 +43,7 @@ def mj_ant_with_plane(extra_xml: str = "", plane_friction="1.5 0.1 0.1"):
     return m
 
 
-def our_scene(substeps, dt=0.0166, box=None):
+def our_scene(substeps, dt=0.0166, box=None, cp=None):
     from massive_marl_tpu.envs.ant_scene import AntSceneSpec, AntSceneState
     model = mjcf.parse_mjcf(mjcf.asset_path("ant.xml"))
     # friction_combine pinned to 'multiply': these scenes validate the
@@ -55,7 +55,8 @@ def our_scene(substeps, dt=0.0166, box=None):
         ant_sys=model.system,
         box_sys=mjcf.make_box_system(box, density=1.0, friction=0.0) if box else None,
         box_half_extents=box,
-        num_ants=1, dt=dt, substeps=substeps, friction_combine="multiply")
+        num_ants=1, dt=dt, substeps=substeps, friction_combine="multiply",
+        **({"contact": cp} if cp is not None else {}))
     return model, spec
 
 
@@ -117,9 +118,9 @@ def run_mj(m, z0, T, tau_fn=None, nq_extra=0):
     return np.array(hist), np.array(full)
 
 
-def scenario_drop(substeps=3):
+def scenario_drop(substeps=3, cp=None):
     T_s = 2.5
-    model, spec = our_scene(substeps)
+    model, spec = our_scene(substeps, cp=cp)
     h_ctrl = spec.dt
     ours, _ = run_ours(spec, model, 1.0, int(T_s / h_ctrl))
     m = mj_ant_with_plane()
@@ -267,7 +268,7 @@ def mj_multi_ant_box(ant_poses, box_xml: str):
     return m
 
 
-def scenario_multi_push(substeps=3, n_ants=2, vx=-2.0, T_s=1.5):
+def scenario_multi_push(substeps=3, n_ants=2, vx=-2.0, T_s=1.5, cp=None):
     """TWO ants thrown at the long box's side face (the TenAnt interaction:
     multiple ants transferring momentum into the 28-mass box, which then
     slides on the plane) - deterministic: ballistic flight, side impact,
@@ -292,7 +293,8 @@ def scenario_multi_push(substeps=3, n_ants=2, vx=-2.0, T_s=1.5):
     spec = AntSceneSpec(
         ant_sys=sys_, box_sys=mjcf.make_box_system(he, density=1.0, friction=0.0),
         box_half_extents=he, num_ants=n_ants, dt=0.0166, substeps=substeps,
-        friction_combine="multiply")  # matches the MuJoCo scene's pair mus
+        friction_combine="multiply",  # matches the MuJoCo scene's pair mus
+        **({"contact": cp} if cp is not None else {}))
     qpos = jax.vmap(lambda y: sys_.init_qpos(jnp.array([x0, y, z0])))(jnp.asarray(ys))
     qvel = jnp.zeros((n_ants, sys_.nv)).at[:, 0].set(vx)
     st = AntSceneState(ant_qpos=qpos, ant_qvel=qvel,

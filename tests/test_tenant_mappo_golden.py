@@ -39,3 +39,9 @@ def test_tenant_mappo_golden_seed_regression():
     # legitimate physics/net changes move the curve without tripping it
     assert -5.0 < np.mean(rewards[-5:]) < 30.0, np.mean(rewards[-5:])
     assert max(rewards) > 3.0, rewards   # the task's positive reward scale
+    # reward-SCALE tripwire (VERDICT r4 weak item 5: the wide band alone
+    # would admit a 2x scale regression): iteration-0 reward is dominated by
+    # the deterministic survival + goal-distance terms (~15 under the
+    # shipped physics, observed 14.8-15.2 across r4/r5 runs); a 2x or 0.5x
+    # scale bug lands at ~30 / ~7.5, both outside this window
+    assert 8.0 < rewards[0] < 25.0, rewards[0]
