@@ -218,15 +218,20 @@ def main():
                 RecurrentMarlRunner
             from massive_marl_tpu.algos.marl.runner import MarlConfig
 
+            # E=2048: at 4096 the chunked-BPTT buffers (per-step GRU states
+            # for actor+critic x 10 agents) put the program 147 MB over the
+            # v5e 16G HBM (compile-time OOM, r5); per-chip env-steps/s is
+            # comparable either way
+            E_rec = min(num_envs, 2048)
             rcfg = MarlConfig(algorithm_name="mappo",
                               use_recurrent_policy=True)
-            rec = RecurrentMarlRunner(env, num_envs=num_envs, cfg=rcfg,
+            rec = RecurrentMarlRunner(env, num_envs=E_rec, cfg=rcfg,
                                       seed=0, print_log=False)
             rit = jax.jit(rec._make_train_iter_rnn())
             dt_r = time_scanned(lambda t: rit(t)[0], rec.init_state(),
                                 n=10, rtt=rtt)
             out["tenant_rmappo_env_steps_per_sec"] = round(
-                rcfg.episode_length * num_envs / dt_r, 1)
+                rcfg.episode_length * E_rec / dt_r, 1)
             del rec, rit
         except Exception as e:  # noqa: BLE001
             out["rmappo_bench_error"] = f"{type(e).__name__}: {e}"

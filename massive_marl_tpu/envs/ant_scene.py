@@ -81,6 +81,12 @@ class AntSceneSpec(NamedTuple):
     # attribution study (BASELINE.md r5): average combine everywhere EXCEPT
     # the ant-box pair forced to a given mu isolates that pair's effect.
     ant_box_mu: Optional[float] = None
+    # box-ground PAIR friction override (None = combine(box material, plane
+    # material)).  Second probe knob from the same study: the r5 ant-box
+    # probe REFUTED the ant-box attribution, leaving box-ground (0.5 under
+    # average vs 0 under multiply - whether the push-box glides or is
+    # pinned) as the remaining candidate pair.
+    box_ground_mu: Optional[float] = None
     # domain randomization spec (actor_params.ant subtree) or None
     dr_spec: Any = None
     # joint-limit penalty override (None = engine.LIMIT_K / LIMIT_DAMP)
@@ -154,10 +160,11 @@ def scene_step(spec: AntSceneSpec, state: AntSceneState, actions: jnp.ndarray) -
             fk_b = engine.fwd_kinematics(bsys, bq, bv)
             p_b, v_b, body_b = engine.points_world(bsys, fk_b)
             pi_b = engine.point_inertia(bsys, fk_b, p_b)
-            f_b = engine.contact_plane(p_b, v_b, bsys.point_radius,
-                                       engine.combine_mu(bsys.point_friction,
-                                                         spec.plane_friction,
-                                                         spec.friction_combine),
+            mu_bg = (spec.box_ground_mu if spec.box_ground_mu is not None
+                     else engine.combine_mu(bsys.point_friction,
+                                            spec.plane_friction,
+                                            spec.friction_combine))
+            f_b = engine.contact_plane(p_b, v_b, bsys.point_radius, mu_bg,
                                        cp, pi=pi_b, h=h)
             f_ext_b = engine.accumulate_body_forces(bsys, p_b, f_b, fk_b.base)
             # ant contact wrenches were taken about the box origin == fk_b.base

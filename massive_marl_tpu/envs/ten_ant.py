@@ -76,6 +76,9 @@ class TenAntEnv:
         # PAIR friction, leaving every other pair under friction_combine
         abm = sim_cfg.get("ant_box_friction", None)
         ant_box_mu = None if abm is None else float(abm)
+        # second probe knob: force the box-ground PAIR friction only
+        bgm = sim_cfg.get("box_ground_friction", None)
+        box_ground_mu = None if bgm is None else float(bgm)
         # contact-constant overrides (sweeps/sensitivity studies; keys are
         # engine.ContactParams fields, e.g. hc_cap - BASELINE.md r5 impact
         # study).  Default: the MuJoCo-tuned shipped constants.
@@ -117,6 +120,7 @@ class TenAntEnv:
             plane_friction=plane_friction,
             friction_combine=friction_combine,
             ant_box_mu=ant_box_mu,
+            box_ground_mu=box_ground_mu,
             contact=contact,
             dr_spec=dr_spec,
         )

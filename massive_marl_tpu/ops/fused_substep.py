@@ -284,10 +284,11 @@ def fused_scene_step(spec, state, actions: jnp.ndarray, rblk: int = 16,
         fk_b = engine.fwd_kinematics(bsys, bq1, bv1)
         p_b, v_b, _ = engine.points_world(bsys, fk_b)
         pi_b = engine.point_inertia(bsys, fk_b, p_b)
-        f_b = engine.contact_plane(p_b, v_b, bsys.point_radius,
-                                   engine.combine_mu(bsys.point_friction,
-                                                     spec.plane_friction,
-                                                     spec.friction_combine),
+        mu_bg = (spec.box_ground_mu if spec.box_ground_mu is not None
+                 else engine.combine_mu(bsys.point_friction,
+                                        spec.plane_friction,
+                                        spec.friction_combine))
+        f_b = engine.contact_plane(p_b, v_b, bsys.point_radius, mu_bg,
                                    cp, pi=pi_b, h=h)
         f_ext_b = engine.accumulate_body_forces(bsys, p_b, f_b, fk_b.base)
         f_ext_b = [f_ext_b[0] + wrench_sum]

@@ -36,11 +36,18 @@ def main():
     iters = int(os.environ.get("PROBE_ITERS", 6500))
     seed = int(os.environ.get("SEED", 1))
     abm = os.environ.get("ANT_BOX_MU", "")
+    bgm = os.environ.get("BOX_GROUND_MU", "")
     sim = {"friction_combine": "average"}
     tag = "avg"
     if abm != "":
         sim["ant_box_friction"] = float(abm)
         tag = f"antbox{float(abm):g}"
+    if bgm != "":
+        # second-round probe: the ant-box mu=0 runs did NOT restore the
+        # multiply-band peak, so test the remaining pair difference -
+        # box-ground (0.5 average vs 0 multiply: glide vs pinned box)
+        sim["box_ground_friction"] = float(bgm)
+        tag += f"_boxgnd{float(bgm):g}" if abm != "" else f"boxgnd{float(bgm):g}"
     env = OneAntEnv({"sim": sim})
     ppo = PPO(env, num_envs=E, cfg=PPOConfig(), seed=seed, print_log=False)
     ts = ppo.init_state()

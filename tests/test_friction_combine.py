@@ -168,3 +168,27 @@ def test_scalar_plane_combine_matches_engine(ant_model):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(jnp.stack(nqv)), np.asarray(qv_e),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_box_ground_override_reaches_contact(ant_model):
+    """AntSceneSpec.box_ground_mu (r5 probe knob #2): 'average' combine with
+    ONLY the box-ground pair forced to 0 must glide like 'multiply', and a
+    forced non-zero mu must decelerate at ~mu g even under 'multiply'."""
+    t = 15 * 0.0166
+    spec0 = _sliding_box_spec(ant_model, "average")._replace(box_ground_mu=0.0)
+    assert _slide(spec0, ant_model) == pytest.approx(2.0, abs=0.02)
+    spec1 = _sliding_box_spec(ant_model, "multiply")._replace(box_ground_mu=0.5)
+    dv = 2.0 - _slide(spec1, ant_model)
+    assert dv == pytest.approx(0.5 * 9.81 * t, rel=0.15)
+
+
+def test_box_ground_cfg_knob():
+    """sim.box_ground_friction reaches the scene spec on both box tasks."""
+    from massive_marl_tpu.envs.one_ant import OneAntEnv
+    from massive_marl_tpu.envs.ten_ant import TenAntEnv
+    for cls in (OneAntEnv, TenAntEnv):
+        env = cls({"sim": {"box_ground_friction": 0.0,
+                           "fused_kernel": False}})
+        assert env.spec.box_ground_mu == 0.0
+        env = cls({"sim": {"fused_kernel": False}})
+        assert env.spec.box_ground_mu is None
