@@ -37,8 +37,9 @@ def main():
     seed = int(os.environ.get("SEED", 1))
     abm = os.environ.get("ANT_BOX_MU", "")
     bgm = os.environ.get("BOX_GROUND_MU", "")
-    sim = {"friction_combine": "average"}
-    tag = "avg"
+    mode = os.environ.get("COMBINE", "average")
+    sim = {"friction_combine": mode}
+    tag = "avg" if mode == "average" else mode
     if abm != "":
         sim["ant_box_friction"] = float(abm)
         tag = f"antbox{float(abm):g}"
