@@ -98,6 +98,12 @@ def test_cli_preemption_resume(tmp_path):
         p.kill()
         p.wait()
 
+    # re-glob AFTER the kill: between detection and the kill landing the
+    # trainer may have completed another checkpoint, and --model_dir latest
+    # will resolve to that one (atomic writes mean any present .ckpt is
+    # complete) - observed as a load-dependent flake otherwise
+    ckpts = glob.glob(os.path.join(logdir, "**", "model_*.ckpt"),
+                      recursive=True)
     latest = max(ckpts, key=os.path.getmtime)
     saved_iter = int(os.path.basename(latest).split("_")[1].split(".")[0])
     assert saved_iter >= 2
